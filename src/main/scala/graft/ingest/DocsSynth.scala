@@ -1,0 +1,113 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Lexicon._
+
+/** Deterministic synthesis of the engine's input table
+  * `docs(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`
+  * (BASELINE.json input_hint) from the driver's TPC-H-ish parquet.
+  *
+  * One doc per order; one span per lineitem, ordered by `l_linenumber`.
+  * Every span is a pure arithmetic function of (l_orderkey, l_linenumber,
+  * l_partkey, l_suppkey), so the identical derivation is expressible as
+  * DuckDB SQL for the driver's oracle checks — see [[graft.Oracles.synCte]].
+  *
+  * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 20:
+  *   0..10  text: "<Char> <verb-phrase> <Char|Place>."          (triple)
+  *   11..12 dialogue tier-1: "\"We must ride to <Place> at dawn,\" said <Char>."
+  *   13     dialogue tier-2: "<Char> said, \"All is well in <Place>.\""
+  *   14     text, typo'd subject (fuzzy-linking exercise): "<Cha_> <verb> <obj>."
+  *   15..16 text alias: "<Char> (also known as <Alias>) rested quietly."
+  *   17     text temporal: "<Char> returned to <Place> in the year <Y> of the Third Age."
+  *   18..19 media: text='', media_ref='m/<orderkey>/<linenumber>.png'
+  */
+object DocsSynth {
+
+  /** Per-lineitem span rows: (doc_id, pos, kind, text, media_ref, offset).
+    * This is the "source sequence" the span-sequence invariant (§1.4 of
+    * SURVEY.md) validates the assembled docs table against.
+    */
+  def spanRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+    val s = pmod(col("l_partkey"), lit(20L)).cast("int")
+    val o0 = pmod(col("l_partkey") + lit(3L) * col("l_linenumber"), lit(20L)).cast("int")
+    val o = when(o0 === s, (s + 1) % 20).otherwise(o0)
+    val v = pmod(col("l_suppkey"), lit(8L)).cast("int")
+    val p = pmod(col("l_partkey") + col("l_suppkey"), lit(12L)).cast("int")
+    val m = pmod(lit(7L) * col("l_partkey") + lit(13L) * col("l_linenumber")
+      + lit(3L) * col("l_suppkey"), lit(20L)).cast("int")
+    val y = (lit(2900L) + pmod(col("l_partkey"), lit(60L))).cast("int")
+
+    val charArr = array(Chars.map(lit): _*)
+    val aliasArr = array(CharAliases.map(lit): _*)
+    val placeArr = array(Places.map(lit): _*)
+    val verbArr = array(Verbs.map(t => lit(t._1)): _*)
+    val objKindArr = array(Verbs.map(t => lit(t._3)): _*)
+
+    val subj = element_at(charArr, s + 1)
+    val obj = when(element_at(objKindArr, v + 1) === 1, element_at(placeArr, p + 1))
+      .otherwise(element_at(charArr, o + 1))
+    val verbPhrase = element_at(verbArr, v + 1)
+    val place = element_at(placeArr, p + 1)
+    val alias = element_at(aliasArr, s + 1)
+    val typo = subj.substr(lit(1), length(subj) - 1)
+
+    val kind = when(m.between(11, 13), "dialogue")
+      .when(m >= 18, "media")
+      .otherwise("text")
+
+    val text = when(m <= 10, concat(subj, lit(" "), verbPhrase, lit(" "), obj, lit(".")))
+      .when(m.between(11, 12),
+        concat(lit("\"We must ride to "), place, lit(" at dawn,\" said "), subj, lit(".")))
+      .when(m === 13,
+        concat(subj, lit(" said, \"All is well in "), place, lit(".\"")))
+      .when(m === 14, concat(typo, lit(" "), verbPhrase, lit(" "), obj, lit(".")))
+      .when(m.between(15, 16),
+        concat(subj, lit(" (also known as "), alias, lit(") rested quietly.")))
+      .when(m === 17,
+        concat(subj, lit(" returned to "), place, lit(" in the year "),
+          y.cast("string"), lit(" of the Third Age.")))
+      .otherwise(lit(""))
+
+    val mediaRef = when(m >= 18,
+      concat(lit("m/"), col("l_orderkey").cast("string"), lit("/"),
+        col("l_linenumber").cast("string"), lit(".png"))).otherwise(lit(null))
+
+    // (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+    // data — order by the full content key so pos→span is deterministic.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    li.select(
+        concat(lit("doc_"), col("l_orderkey").cast("string")).as("doc_id"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        kind.as("kind"), text.as("text"), mediaRef.as("media_ref"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+      .withColumn("offset",
+        coalesce(
+          sum(length(col("text")) + lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).cast("int"))
+      .select("doc_id", "pos", "kind", "text", "media_ref", "offset")
+  }
+
+  /** The assembled input table: docs(doc_id, spans). Spans are ordered by
+    * pos via array_sort on a (pos, ...) struct, then projected down — fully
+    * deterministic, no driver-side collection.
+    */
+  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    spanRows(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(
+        col("pos"), col("kind"), col("text"), col("media_ref"), col("offset"))))
+        .as("keyed"))
+      .select(col("doc_id"),
+        transform(col("keyed"),
+          x => struct(x("kind").as("kind"), x("text").as("text"),
+            x("media_ref").as("media_ref"), x("offset").as("offset")))
+          .as("spans"))
+  }
+}
