@@ -81,4 +81,107 @@ object Oracles {
 
   /** Wrap a SELECT over `syn` into a full oracle statement. */
   def overSyn(select: String): String = s"WITH $synCte\n$select"
+
+  // ------------------------------------------------------------------
+  // Expression fragments over syn's selector columns (s, o, v, p, m, y)
+  // for the arithmetic oracles of the extraction stages.
+  // ------------------------------------------------------------------
+
+  /** Subject character name. */
+  val eSubj: String = charAt("s")
+  /** Object character name. */
+  val eObjC: String = charAt("o")
+  /** Place name. */
+  val ePlace: String = placeAt("p")
+  /** Alias token of the subject character. */
+  val eAlias: String = aliasAt("s")
+  /** Verb surface phrase. */
+  val eVerb: String = verbAt("v")
+  /** Predicate (relationship type). */
+  val ePred: String = predAt("v")
+  /** True when the planted verb's object is a place. */
+  val eObjIsPlace: String = s"${objKindAt("v")} = 1"
+  /** The triple object's surface name. */
+  val eObj: String = s"CASE WHEN $eObjIsPlace THEN $ePlace ELSE $eObjC END"
+  /** Typo'd subject (m=14 rows). */
+  val eTypo: String = s"substring($eSubj, 1, length($eSubj) - 1)"
+  /** rapidfuzz indel ratio of typo vs full name: 2*(n-1)/(2n-1). */
+  val eTypoRatio: String =
+    s"round(2.0 * (length($eSubj) - 1) / (2 * length($eSubj) - 1), 4)"
+
+  /** All planted mention rows with their expected linking outcome.
+    * Columns: doc_id, pos, text, start, label, source, confidence,
+    * canonical_id, entity_type, link_confidence, is_new.
+    * One UNION ALL branch per (template, mention-slot).
+    */
+  val entityRowsCte: String = {
+    def row(where: String, text: String, start: String, label: String,
+        source: String, conf: String, cid: String, etype: String,
+        lconf: String, isNew: String, comment: String): String =
+      s"""  -- $comment
+         |  SELECT doc_id, pos, $text AS text, CAST($start AS INT) AS start,
+         |         $label AS label, $source AS source,
+         |         CAST($conf AS DOUBLE) AS confidence,
+         |         $cid AS canonical_id, $etype AS entity_type,
+         |         CAST($lconf AS DOUBLE) AS link_confidence,
+         |         $isNew AS is_new
+         |  FROM syn WHERE $where""".stripMargin
+
+    val objLabel = s"CASE WHEN $eObjIsPlace THEN 'PLACE' ELSE 'PERSON' END"
+    val objId = s"lower($eObj)"
+    val objType = s"CASE WHEN $eObjIsPlace THEN 'place' ELSE 'character' END"
+    val branches = Seq(
+      row("m <= 10", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "text subject"),
+      row("m <= 10", eObj, s"length($eSubj) + 1 + length($eVerb) + 1",
+        objLabel, "'gazetteer'", "0.85", objId, objType, "1.0", "FALSE",
+        "text object"),
+      row("m BETWEEN 11 AND 12", ePlace, "length('\"We must ride to ')",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
+        "1.0", "FALSE", "dialogue-1 place"),
+      row("m BETWEEN 11 AND 12", eSubj,
+        s"length('\"We must ride to ') + length($ePlace) + length(' at dawn,\" said ')",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eSubj)", "'character'",
+        "1.0", "FALSE", "dialogue-1 speaker"),
+      row("m = 13", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "dialogue-2 speaker"),
+      row("m = 13", ePlace,
+        s"length($eSubj) + length(' said, \"All is well in ')",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
+        "1.0", "FALSE", "dialogue-2 place"),
+      row("m = 14", eTypo, "0", "'UNKNOWN'", "'heuristic'", "0.7",
+        s"lower($eSubj)", "'character'", eTypoRatio, "FALSE", "typo subject"),
+      row("m = 14", eObj, s"length($eTypo) + 1 + length($eVerb) + 1",
+        objLabel, "'gazetteer'", "0.85", objId, objType, "1.0", "FALSE",
+        "typo-row object"),
+      row("m BETWEEN 15 AND 16", eSubj, "0", "'PERSON'", "'gazetteer'",
+        "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
+        "alias subject"),
+      row("m BETWEEN 15 AND 16", eAlias,
+        s"length($eSubj) + length(' (also known as ')",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eSubj)", "'character'",
+        "1.0", "FALSE", "alias token -> same canonical id"),
+      row("m = 17", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "temporal subject"),
+      row("m = 17", ePlace, s"length($eSubj) + length(' returned to ')",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
+        "1.0", "FALSE", "temporal place"),
+      row("m = 17", "'Third Age'",
+        s"length($eSubj) + length(' returned to ') + length($ePlace) + " +
+          "length(' in the year ') + length(CAST(y AS VARCHAR)) + length(' of the ')",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "'Third Age' — unseeded"))
+    s"entity_rows AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
+  }
+
+  /** Expected triples: doc_id, pos, subject_id, predicate, object_id. */
+  val tripleRowsCte: String =
+    s"""triple_rows AS (
+       |  SELECT doc_id, pos,
+       |         lower($eSubj) AS subject_id,
+       |         $ePred AS predicate,
+       |         lower($eObj) AS object_id
+       |  FROM syn WHERE m <= 10 OR m = 14
+       |)""".stripMargin
+
 }

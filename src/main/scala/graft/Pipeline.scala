@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{DocsSynth, Passages}
+import graft.extract.{Linker, Mentions, Seeds, Triples}
+
+/** End-to-end KG-construction dataflow (SURVEY.md §3.1/§3.2), assembled
+  * from the stage modules. Every function is lazy plan construction —
+  * nothing executes until an action.
+  */
+object Pipeline {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    DocsSynth.docs(spark, sfDir)
+
+  def passages(spark: SparkSession, sfDir: String): DataFrame =
+    Passages.fromDocs(docs(spark, sfDir))
+
+  def textual(spark: SparkSession, sfDir: String): DataFrame =
+    Passages.textual(passages(spark, sfDir))
+
+  /** Detected + overlap-deduped mentions. */
+  def mentions(spark: SparkSession, sfDir: String): DataFrame =
+    Mentions.fromPassages(spark, textual(spark, sfDir)).toDF()
+
+  /** Mentions linked against the seed registry. */
+  def linked(spark: SparkSession, sfDir: String): DataFrame =
+    Linker.link(spark, mentions(spark, sfDir))
+
+  /** Extracted SVO triples. */
+  def triples(spark: SparkSession, sfDir: String): DataFrame =
+    Triples.fromPassages(spark, textual(spark, sfDir), linked(spark, sfDir))
+      .toDF()
+
+  /** Edge table: fully-resolved triples aggregated per (src, dst, type) —
+    * the reference's MERGE-with-aggregate semantics (graph/writer.py:135-222)
+    * expressed as one hash aggregate with map-side partial aggregation.
+    */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    triples(spark, sfDir)
+      .filter(col("subject_id").isNotNull && col("object_id").isNotNull)
+      .groupBy(
+        col("subject_id").as("src"),
+        col("object_id").as("dst"),
+        col("predicate").as("type"))
+      .agg(
+        count(lit(1)).as("mention_count"),
+        countDistinct(col("passage_id")).as("num_passages"))
+
+  /** Vertex table from linked mentions (graph/writer.py:41-133): one row
+    * per canonical entity (or slugged new entity), mention_count aggregated.
+    */
+  def vertices(spark: SparkSession, sfDir: String): DataFrame = {
+    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
+    linked(spark, sfDir)
+      .withColumn("vid",
+        coalesce(col("canonical_id"), concat(lit("new_"), slug)))
+      .groupBy(col("vid").as("id"), col("entity_type").as("label"))
+      .agg(
+        count(lit(1)).as("mention_count"),
+        min(coalesce(col("canonical_name"), col("text"))).as("canonical_name"))
+  }
+
+  /** Flagship: who spoke with whom, ranked (SURVEY.md §7.2, T10). */
+  def charGraph(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir)
+      .filter(col("type").isin("SPOKE_TO", "SPOKE_WITH"))
+      .groupBy("src", "dst")
+      .agg(sum(col("mention_count")).as("conversations"))
+}

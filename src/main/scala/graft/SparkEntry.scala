@@ -12,9 +12,10 @@ import graft.ingest.{DocsSynth, Passages}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (character conversation graph) on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_passages")(spark, "/root/testdata/sf0.001")
+    queries("q08_char_graph")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_passages" -> ((s, dir) =>
@@ -23,13 +24,66 @@ object SparkEntry {
     "q02_span_invariant" -> ((s, dir) =>
       Passages.validate(
         Passages.fromDocs(DocsSynth.docs(s, dir)),
-        DocsSynth.spanRows(s, dir)))
+        DocsSynth.spanRows(s, dir))),
+    "q03_mentions" -> ((s, dir) =>
+      Pipeline.mentions(s, dir)
+        .select("doc_id", "pos", "text", "start", "label", "source",
+          "confidence")),
+    "q04_linked" -> ((s, dir) =>
+      Pipeline.linked(s, dir)
+        .select(col("doc_id"), col("pos"), col("text"), col("canonical_id"),
+          col("entity_type"),
+          round(col("link_confidence"), 4).as("link_confidence"),
+          col("is_new"))),
+    "q05_entity_mentions" -> ((s, dir) =>
+      Pipeline.linked(s, dir)
+        .filter(col("canonical_id").isNotNull)
+        .groupBy("canonical_id", "entity_type")
+        .agg(count(lit(1)).as("mention_count"))),
+    "q06_triples" -> ((s, dir) =>
+      Pipeline.triples(s, dir)
+        .select("doc_id", "pos", "subject_id", "predicate", "object_id",
+          "confidence")),
+    "q07_edges" -> ((s, dir) => Pipeline.edges(s, dir)),
+    "q08_char_graph" -> ((s, dir) => Pipeline.charGraph(s, dir))
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "q01_passages" -> Oracles.overSyn(
-      "SELECT doc_id, pos, kind, text, media_ref, \"offset\" FROM syn"),
-    "q02_span_invariant" -> Oracles.overSyn(
-      "SELECT DISTINCT doc_id, TRUE AS ok FROM syn")
-  )
+  def oracleSql: Map[String, String] = {
+    val withEntities = (sel: String) =>
+      Oracles.overSyn(s", ${Oracles.entityRowsCte}\n$sel")
+    val withTriples = (sel: String) =>
+      Oracles.overSyn(s", ${Oracles.tripleRowsCte}\n$sel")
+    Map(
+      "q01_passages" -> Oracles.overSyn(
+        "SELECT doc_id, pos, kind, text, media_ref, \"offset\" FROM syn"),
+      "q02_span_invariant" -> Oracles.overSyn(
+        "SELECT DISTINCT doc_id, TRUE AS ok FROM syn"),
+      "q03_mentions" -> withEntities(
+        """SELECT doc_id, pos, text, start, label, source, confidence
+          |FROM entity_rows""".stripMargin),
+      "q04_linked" -> withEntities(
+        """SELECT doc_id, pos, text, canonical_id, entity_type,
+          |       round(link_confidence, 4) AS link_confidence, is_new
+          |FROM entity_rows""".stripMargin),
+      "q05_entity_mentions" -> withEntities(
+        """SELECT canonical_id, entity_type, count(*) AS mention_count
+          |FROM entity_rows WHERE canonical_id IS NOT NULL
+          |GROUP BY 1, 2""".stripMargin),
+      "q06_triples" -> withTriples(
+        """SELECT doc_id, pos, subject_id, predicate, object_id,
+          |       CAST(0.7 AS DOUBLE) AS confidence
+          |FROM triple_rows""".stripMargin),
+      "q07_edges" -> withTriples(
+        """SELECT subject_id AS src, object_id AS dst, predicate AS type,
+          |       count(*) AS mention_count,
+          |       count(DISTINCT doc_id || '|' || pos) AS num_passages
+          |FROM triple_rows GROUP BY 1, 2, 3""".stripMargin),
+      "q08_char_graph" -> withTriples(
+        """SELECT subject_id AS src, object_id AS dst,
+          |       count(*) AS conversations
+          |FROM triple_rows
+          |WHERE predicate IN ('SPOKE_TO', 'SPOKE_WITH')
+          |GROUP BY 1, 2""".stripMargin)
+    )
+  }
 }

@@ -1,0 +1,162 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.Lexicon
+
+/** A raw entity mention (reference ExtractedEntity, extract/ner.py:18-27). */
+final case class Mention(
+    doc_id: String,
+    pos: Int,
+    passage_id: String,
+    text: String,
+    start: Int,
+    end: Int,
+    label: String, // PERSON | PLACE | OBJECT | ORG | EVENT | UNKNOWN
+    source: String, // heuristic | pattern | gazetteer
+    confidence: Double)
+
+/** Mention detection — the batched mapPartitions-vectorized stage of the
+  * north rule. Deterministic equivalent of the reference NERPipeline
+  * (extract/ner.py:78-290): capitalized-span heuristic replaces the spaCy
+  * model, the title/epithet regexes are ported verbatim, and a broadcast
+  * gazetteer scan replaces the LLM extractor (same information source as
+  * the seeds). Patterns are compiled once per partition; rows are processed
+  * in bulk with no shuffle.
+  */
+object Mentions {
+
+  /** Capitalized noun-span heuristic (stands in for ner.py:137-157's
+    * proper-noun noun-chunk fallback): maximal runs of Capitalized words,
+    * dropping single tokens from the reference's `non_names` stoplist
+    * (voice/dialogue.py:279-298).
+    */
+  private val CapSpan: Pattern =
+    Pattern.compile("""\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b""")
+
+  /** TITLE_PATTERNS + EPITHET_PATTERNS, reference ner.py:34-44, conf 0.9. */
+  private val NamedPatterns: Seq[Pattern] = Seq(
+    """\b(King|Queen|Lord|Lady|Prince|Princess|Chief|Captain|Steward)\s+(?:of\s+)?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""",
+    """\b(the\s+)?(Grey|White|Dark|Black|High|Great)\s+(Wizard|King|Lord|Lady|Enemy|Rider)""",
+    """\b(the\s+)?(Ring-?bearer|Halfling|Perian|Dwarf-friend|Elf-friend)""",
+    """\b(the\s+)?(Necromancer|Enemy|Dark Lord|Shadow)""",
+    """\b(Gandalf|Saruman|Radagast)\s+(the\s+)?(Grey|White|Brown)"""
+  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
+  /** Label for a gazetteer hit, by seed entity type. */
+  private def gazLabel(entityType: String): String = entityType match {
+    case "character" => "PERSON"
+    case "place" => "PLACE"
+    case "object" => "OBJECT"
+    case _ => "UNKNOWN"
+  }
+
+  private[extract] final case class Raw(text: String, start: Int, end: Int,
+      label: String, source: String, confidence: Double)
+
+  /** Detect raw (pre-dedup) mentions in one passage text. Pure function —
+    * unit-testable without Spark.
+    */
+  private[extract] def detectRaw(
+      text: String,
+      gazetteer: Seq[(String, String)] /* (nameLower, entityType) */)
+      : Seq[Raw] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Raw]
+
+    // 1. capitalized-span heuristic (label UNKNOWN, conf 0.7).
+    // Leading stoplist tokens ("Then Tom Bombadil") are stripped — spaCy's
+    // noun chunks never include a sentence-initial adverb/determiner.
+    val m = CapSpan.matcher(text)
+    while (m.find()) {
+      var t = m.group(1)
+      var start = m.start(1)
+      var stripped = true
+      while (stripped && t.contains(' ')) {
+        val first = t.substring(0, t.indexOf(' '))
+        if (Lexicon.NonNames.contains(first.toLowerCase)) {
+          start += first.length + 1
+          t = t.substring(first.length + 1)
+        } else stripped = false
+      }
+      val single = !t.contains(' ')
+      if (!(single && Lexicon.NonNames.contains(t.toLowerCase)))
+        out += Raw(t, start, start + t.length, "UNKNOWN", "heuristic", 0.7)
+    }
+
+    // 2. title/epithet patterns (PERSON, conf 0.9) — ner.py:160-177
+    NamedPatterns.foreach { p =>
+      val pm = p.matcher(text)
+      while (pm.find())
+        out += Raw(pm.group(0), pm.start, pm.end, "PERSON", "pattern", 0.9)
+    }
+
+    // 3. gazetteer scan (typed, conf 0.85) — deterministic substitute for
+    //    the LLM extractor (ner.py:179-260); locate-by-find, like the
+    //    reference does for LLM spans (ner.py:238-241), but all occurrences.
+    val lower = text.toLowerCase
+    gazetteer.foreach { case (name, etype) =>
+      var idx = lower.indexOf(name)
+      while (idx >= 0) {
+        val endIdx = idx + name.length
+        val wordStart = idx == 0 || !Character.isLetter(lower.charAt(idx - 1))
+        val wordEnd = endIdx == lower.length || !Character.isLetter(lower.charAt(endIdx))
+        if (wordStart && wordEnd)
+          out += Raw(text.substring(idx, endIdx), idx, endIdx,
+            gazLabel(etype), "gazetteer", 0.85)
+        idx = lower.indexOf(name, idx + 1)
+      }
+    }
+
+    out.toSeq
+  }
+
+  /** Overlap dedup, ported exactly from ner.py:262-290: sort by
+    * (start, -confidence); greedily keep non-overlapping; an overlapping
+    * newcomer replaces the accepted span iff it has strictly higher
+    * confidence AND text at least as long.
+    */
+  private[extract] def dedup(entities: Seq[Raw]): Seq[Raw] = {
+    val sorted = entities.sortBy(e => (e.start, -e.confidence))
+    val result = scala.collection.mutable.ArrayBuffer.empty[Raw]
+    sorted.foreach { e =>
+      val overlapping = result.indexWhere(a => !(e.end <= a.start || e.start >= a.end))
+      if (overlapping >= 0) {
+        val a = result(overlapping)
+        if (e.confidence > a.confidence && e.text.length >= a.text.length) {
+          result.remove(overlapping)
+          result += e
+        }
+      } else result += e
+    }
+    result.sortBy(_.start).toSeq
+  }
+
+  /** Full per-passage detection (detect + dedup). */
+  private[extract] def detect(
+      text: String,
+      gazetteer: Seq[(String, String)]): Seq[Raw] =
+    dedup(detectRaw(text, gazetteer))
+
+  /** Spark stage: textual passages -> Dataset[Mention]. Narrow
+    * (mapPartitions), gazetteer broadcast once, patterns compiled per task.
+    */
+  def fromPassages(
+      spark: SparkSession,
+      passages: DataFrame,
+      seeds: Seq[SeedEntity] = Seeds.default): Dataset[Mention] = {
+    import spark.implicits._
+    val gaz = spark.sparkContext.broadcast(
+      Seeds.aliasRows(seeds).map(r => (r._1, r._3)))
+    passages
+      .select("doc_id", "pos", "passage_id", "text")
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        val g = gaz.value
+        it.flatMap { case (docId, pos, pid, text) =>
+          detect(text, g).map(r =>
+            Mention(docId, pos, pid, r.text, r.start, r.end,
+              r.label, r.source, r.confidence))
+        }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.Lexicon
+
+/** Canonical entity registry (the reference's seed JSON databases).
+  * Reference: extract/resolver.py:133-163 (loader),
+  * models/entities.py:6-63 (Character/Place/Object).
+  */
+final case class SeedEntity(
+    id: String,
+    canonicalName: String,
+    aliases: Seq[String],
+    entityType: String) // character | place | object
+
+object Seeds {
+
+  /** Default synthetic-corpus registry: every planted character (with its
+    * alias) and place. id = lowercase(canonical_name) — single tokens by
+    * construction (Lexicon).
+    */
+  val default: Seq[SeedEntity] = {
+    val chars = Lexicon.Chars.zip(Lexicon.CharAliases).map { case (n, a) =>
+      SeedEntity(n.toLowerCase, n, Seq(a), "character")
+    }
+    val places = Lexicon.Places.map(p => SeedEntity(p.toLowerCase, p, Nil, "place"))
+    chars ++ places
+  }
+
+  /** Exploded lookup rows: (akey = lowercase name-or-alias, id, type, name).
+    * This is the broadcast build side of every linking join.
+    */
+  def aliasRows(seeds: Seq[SeedEntity]): Seq[(String, String, String, String)] =
+    seeds.flatMap { e =>
+      (e.canonicalName +: e.aliases).map(n =>
+        (n.toLowerCase, e.id, e.entityType, e.canonicalName))
+    }.distinct
+
+  /** Schema of the reference seed JSON files (characters/places/objects.json,
+    * /root/reference/data/seeds). Only the fields the resolver uses.
+    */
+  val seedJsonSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("canonical_name", StringType),
+    StructField("aliases", ArrayType(StringType))))
+
+  /** S4: load a reference-format seed JSON array into SeedEntity rows. */
+  def fromJson(spark: SparkSession, path: String, entityType: String): Seq[SeedEntity] = {
+    spark.read.schema(seedJsonSchema)
+      .option("multiLine", "true").json(path)
+      .collect()
+      .map(r => SeedEntity(
+        r.getString(0), r.getString(1),
+        Option(r.getSeq[String](2)).getOrElse(Nil), entityType))
+      .toSeq
+  }
+
+  def toDf(spark: SparkSession, seeds: Seq[SeedEntity]): DataFrame = {
+    import spark.implicits._
+    aliasRows(seeds).toDF("akey", "canonical_id", "entity_type", "canonical_name")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Lexicon
+
+/** An extracted (subj, pred, obj) triple.
+  * Reference: ExtractedRelationship (models/relationships.py:70-99). */
+final case class Triple(
+    doc_id: String,
+    pos: Int,
+    passage_id: String,
+    subject_text: String,
+    subject_id: Option[String],
+    subject_type: Option[String],
+    predicate: String,
+    predicate_raw: String,
+    object_text: String,
+    object_id: Option[String],
+    object_type: Option[String],
+    confidence: Double,
+    extraction_method: String)
+
+/** SVO triple extraction — the second mapPartitions-vectorized stage of the
+  * north rule. Deterministic re-expression of the reference's
+  * dependency-parse path (extract/relationships.py:161-276) without spaCy:
+  *
+  *  - verb = token whose lowercase form is in the verb lexicon
+  *    (lemma AND surface forms, Lexicon.VerbToRelationship)
+  *  - subject = nearest noun phrase ending before the verb
+  *  - object  = nearest noun phrase starting after the verb (preposition
+  *    tokens in between are skipped naturally) — mirrors dobj|prep->pobj
+  *  - noun phrases = detected mention spans plus article+commonnoun chunks
+  *    ("the dragon"), mirroring spaCy noun_chunks (relationships.py:236-250)
+  *  - a verb token directly preceded by a closing quote is speech
+  *    attribution ("...," said X), which the dependency path would parse as
+  *    an inverted nsubj with no dobj -> no triple; we skip it likewise
+  *  - NPs inside a quoted region are not arguments of verbs outside it
+  *    (spaCy parses quoted content as ccomp, never dobj)
+  *  - triple emitted iff >=1 argument matches the passage's mention set
+  *    (exact -> article-strip -> substring containment, T4
+  *    relationships.py:252-276); confidence 0.7
+  *  - per-passage dedup on lower(subj)|pred|lower(obj) keeping max
+  *    confidence (T6, relationships.py:384-398)
+  *  - self-loops (subject == object text) dropped: positional fallback for
+  *    conjunction-shared subjects the dep parse would leave subject-less
+  */
+object Triples {
+
+  private val WordToken: Pattern = Pattern.compile("""[A-Za-z][A-Za-z'-]*""")
+  private val DetChunk: Pattern =
+    Pattern.compile("""\b([Tt]he|[Aa]n?)\s+([a-z]+(?:\s+[a-z]+)?)\b""")
+  private val QuoteRegion: Pattern =
+    Pattern.compile("\"[^\"]*\"|“[^”]*”")
+
+  /** A linked mention span visible to the extractor. */
+  final case class Arg(text: String, start: Int, end: Int,
+      id: Option[String], etype: Option[String])
+
+  private final case class Np(text: String, start: Int, end: Int,
+      fromMention: Boolean)
+
+  /** T4 argument->entity matching: exact, article-strip, then containment
+    * either way. Returns the matching mention if any.
+    */
+  private def findEntity(text: String, args: Seq[Arg]): Option[Arg] = {
+    val t = text.toLowerCase.trim
+    val byKey = args.map(a => a.text.toLowerCase -> a)
+    byKey.find(_._1 == t).map(_._2)
+      .orElse {
+        val stripped = Seq("the ", "a ", "an ").collectFirst {
+          case p if t.startsWith(p) => t.substring(p.length)
+        }
+        stripped.flatMap(s => byKey.find(_._1 == s).map(_._2))
+      }
+      .orElse(byKey.find { case (k, _) => k.contains(t) || t.contains(k) }
+        .map(_._2))
+  }
+
+  /** Pure per-passage extractor — unit-testable without Spark. */
+  private[extract] def extract(
+      text: String,
+      mentions: Seq[Arg]): Seq[(String, String, Option[Arg], String, Option[Arg], String)] = {
+    // quote regions (for argument/attribution scoping)
+    val quotes = {
+      val q = QuoteRegion.matcher(text)
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      while (q.find()) b += ((q.start, q.end))
+      b.toSeq
+    }
+    def quoteOf(p: Int): Int = quotes.indexWhere(r => p >= r._1 && p < r._2)
+
+    // candidate noun phrases: mentions + det-chunks
+    val nps = scala.collection.mutable.ArrayBuffer.empty[Np]
+    mentions.foreach(m => nps += Np(m.text, m.start, m.end, fromMention = true))
+    val dm = DetChunk.matcher(text)
+    while (dm.find()) {
+      val overlapsMention = mentions.exists(m => !(dm.end <= m.start || dm.start >= m.end))
+      if (!overlapsMention) nps += Np(dm.group(0), dm.start, dm.end, fromMention = false)
+    }
+    val sortedNps = nps.sortBy(_.start).toSeq
+
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, String, Option[Arg], String, Option[Arg], String)]
+
+    val wm = WordToken.matcher(text)
+    while (wm.find()) {
+      val token = wm.group(0)
+      val tLower = token.toLowerCase
+      Lexicon.VerbToRelationship.get(tLower).foreach { pred =>
+        val vStart = wm.start
+        val vEnd = wm.end
+        // attribution skip: closing quote (optionally + comma) right before
+        val before = text.substring(math.max(0, vStart - 3), vStart)
+        val isAttribution = before.matches(""".*["”],?\s?""")
+        if (!isAttribution) {
+          val vq = quoteOf(vStart)
+          val subj = sortedNps.filter(n => n.end <= vStart && quoteOf(n.start) == vq)
+            .sortBy(n => -n.end).headOption
+          val obj = sortedNps.filter(n => n.start >= vEnd && quoteOf(n.start) == vq)
+            .sortBy(n => n.start).headOption
+          (subj, obj) match {
+            case (Some(s), Some(o)) if !s.text.equalsIgnoreCase(o.text) =>
+              val se = findEntity(s.text, mentions)
+              val oe = findEntity(o.text, mentions)
+              if (se.isDefined || oe.isDefined) {
+                val key = s"${s.text.toLowerCase}|$pred|${o.text.toLowerCase}"
+                if (!out.contains(key))
+                  out(key) = (s.text, pred, se, o.text, oe, token)
+              }
+            case _ =>
+          }
+        }
+      }
+    }
+    out.values.toSeq
+  }
+
+  /** Spark stage: textual passages + linked mentions -> Dataset[Triple].
+    * One co-partitioned shuffle (groupBy passage to collect the mention
+    * set) then a narrow mapPartitions; the >=2-mention gate (T7,
+    * relationships.py:417-418) prunes work before the extractor runs.
+    */
+  def fromPassages(
+      spark: SparkSession,
+      passages: DataFrame,
+      linkedMentions: DataFrame): Dataset[Triple] = {
+    import spark.implicits._
+    val perPassage = linkedMentions
+      .groupBy("doc_id", "pos")
+      .agg(collect_list(struct(
+        col("text"), col("start"), col("end"),
+        col("canonical_id"), col("entity_type"))).as("ments"))
+      .filter(size(col("ments")) >= 2)
+
+    passages
+      .select("doc_id", "pos", "passage_id", "text")
+      .join(perPassage, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("passage_id"), col("text"),
+        col("ments"))
+      .as[(String, Int, String, String, Seq[(String, Int, Int, Option[String], Option[String])])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, pos, pid, text, ments) =>
+          val args = ments.map(m => Arg(m._1, m._2, m._3, m._4, m._5))
+          extract(text, args).map { case (st, pred, se, ot, oe, raw) =>
+            Triple(docId, pos, pid,
+              st, se.flatMap(_.id), se.flatMap(_.etype),
+              pred, raw,
+              ot, oe.flatMap(_.id), oe.flatMap(_.etype),
+              0.7, "svo")
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.extract
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ported from the reference's tests/test_extract.py (resolver half),
+  * with the tiny fixture registry from tests/test_extract.py:66-96 /
+  * FIXTURES.md §2.
+  */
+class LinkerSpec extends SparkSpec {
+
+  private val fixtureSeeds = Seq(
+    SeedEntity("gandalf", "Gandalf",
+      Seq("Gandalf the Grey", "Mithrandir", "the Grey Pilgrim"), "character"),
+    SeedEntity("bilbo_baggins", "Bilbo Baggins",
+      Seq("Bilbo", "Mr. Baggins"), "character"),
+    SeedEntity("gollum", "Gollum", Seq("Smeagol"), "character"),
+    SeedEntity("the_shire", "The Shire", Seq("Shire"), "place"),
+    SeedEntity("bag_end", "Bag End", Nil, "place"))
+
+  private def resolve(texts: (String, String)*): Map[String, (Option[String], String, Double, Boolean)] = {
+    import spark.implicits._
+    val m = texts.zipWithIndex.map { case ((t, label), i) =>
+      ("d1", 0, "p1", t, i * 100, i * 100 + t.length, label, "heuristic", 0.7)
+    }.toDF("doc_id", "pos", "passage_id", "text", "start", "end",
+      "label", "source", "confidence")
+    Linker.link(spark, m, fixtureSeeds)
+      .select("text", "canonical_id", "entity_type", "link_confidence", "is_new")
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))))
+      .toMap
+  }
+
+  test("exact match: Gandalf -> gandalf conf 1.0 (test_extract.py)") {
+    val r = resolve(("Gandalf", "PERSON"))("Gandalf")
+    assert(r == ((Some("gandalf"), "character", 1.0, false)))
+  }
+
+  test("alias match: Mithrandir -> gandalf") {
+    val r = resolve(("Mithrandir", "PERSON"))("Mithrandir")
+    assert(r._1.contains("gandalf") && !r._4)
+  }
+
+  test("article strip: the Shire -> the_shire (test_extract.py:117-122)") {
+    // 'the shire' is itself an alias key (canonical name lowered) -> exact
+    val r = resolve(("the Shire", "PLACE"))("the Shire")
+    assert(r._1.contains("the_shire") && r._3 == 1.0)
+    // a true tier-2 case: article + alias not present with article
+    val r2 = resolve(("the Mithrandir", "PERSON"))("the Mithrandir")
+    assert(r2._1.contains("gandalf") && r2._3 == 0.95)
+  }
+
+  test("fuzzy: Gandaf -> gandalf with conf < 1.0 (ratio >= 0.85)") {
+    val r = resolve(("Gandaf", "PERSON"))("Gandaf")
+    assert(r._1.contains("gandalf"))
+    assert(r._3 < 1.0 && r._3 >= 0.85)
+  }
+
+  test("unknown: Tom Bombadil -> is_new, no canonical id") {
+    val r = resolve(("Tom Bombadil", "PERSON"))("Tom Bombadil")
+    assert(r._1.isEmpty && r._4 && r._2 == "character")
+  }
+
+  test("type inference: 'the Great Forest' UNKNOWN -> place (resolver.py:241-247)") {
+    val r = resolve(("the Great Forest", "UNKNOWN"))("the Great Forest")
+    assert(r._1.isEmpty && r._2 == "place" && r._4)
+  }
+
+  test("possessive cleaning: Gandalf's -> gandalf (resolver.py:213-221)") {
+    val r = resolve(("Gandalf's", "PERSON"))("Gandalf's")
+    assert(r._1.contains("gandalf"))
+  }
+
+  test("indelRatio matches rapidfuzz fuzz.ratio semantics") {
+    assert(math.abs(Linker.indelRatio("gandaf", "gandalf") - 2.0 * 6 / 13) < 1e-12)
+    assert(Linker.indelRatio("abc", "abc") == 1.0)
+    assert(Linker.indelRatio("abc", "xyz") == 0.0)
+    // substitution costs 2 (indel semantics), unlike plain levenshtein
+    assert(math.abs(Linker.indelRatio("abcd", "abxd") - 2.0 * 3 / 8) < 1e-12)
+  }
+
+  test("synthetic lexicon is fuzzy-safe: unique best match for every typo") {
+    val rows = Seeds.aliasRows(Seeds.default)
+    graft.Lexicon.Chars.foreach { name =>
+      val typo = name.toLowerCase.dropRight(1)
+      val scored = rows.map { case (akey, id, _, _) =>
+        (id, Linker.indelRatio(typo, akey))
+      }.sortBy(-_._2)
+      assert(scored.head._1 == name.toLowerCase, s"typo of $name")
+      assert(scored.head._2 >= 0.85)
+      val second = scored.find(_._1 != name.toLowerCase).get
+      assert(second._2 < 0.85, s"ambiguous typo for $name: $second")
+    }
+    // and no two registry keys are fuzzy-confusable at the 0.9 CC threshold
+    val keys = rows.map(_._1) :+ "third age"
+    for (a <- keys; b <- keys if a < b)
+      assert(Linker.indelRatio(a, b) < 0.9, s"$a ~ $b")
+  }
+}
