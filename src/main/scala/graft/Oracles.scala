@@ -174,6 +174,40 @@ object Oracles {
     s"entity_rows AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
   }
 
+  /** Expected cluster assignment (node -> cluster) of the dynamic
+    * canonicalization. Components on the synthetic corpus are stars of
+    * diameter <= 2 (char + its alias token + its fuzzy typo), so two
+    * min-label propagation rounds compute the exact fixpoint. The fuzzy
+    * edge exists iff ratio = 2(n-1)/(2n-1) >= 0.90 <=> n >= 6
+    * (LinkerSpec/CanonicalizeSpec assert no other pair reaches 0.90).
+    * Requires entityRowsCte.
+    */
+  val clusterCte: String =
+    s"""nodes AS (SELECT DISTINCT lower(text) AS node FROM entity_rows),
+       |e0 AS (
+       |  SELECT lower($eSubj) AS src, lower($eAlias) AS dst
+       |  FROM syn WHERE m BETWEEN 15 AND 16
+       |  UNION
+       |  SELECT lower($eTypo) AS src, lower($eSubj) AS dst
+       |  FROM syn WHERE m = 14 AND length($eSubj) >= 6
+       |    AND lower($eSubj) IN (SELECT node FROM nodes)
+       |),
+       |sym AS (SELECT src AS a, dst AS b FROM e0
+       |        UNION SELECT dst AS a, src AS b FROM e0),
+       |l1 AS (
+       |  SELECT node, min(x) AS c FROM (
+       |    SELECT node, node AS x FROM nodes
+       |    UNION ALL SELECT a AS node, b AS x FROM sym
+       |  ) GROUP BY node
+       |),
+       |l2 AS (
+       |  SELECT node, min(x) AS cluster FROM (
+       |    SELECT node, c AS x FROM l1
+       |    UNION ALL
+       |    SELECT s.a AS node, l.c AS x FROM sym s JOIN l1 l ON l.node = s.b
+       |  ) GROUP BY node
+       |)""".stripMargin
+
   /** Expected triples: doc_id, pos, subject_id, predicate, object_id. */
   val tripleRowsCte: String =
     s"""triple_rows AS (

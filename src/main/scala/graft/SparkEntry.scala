@@ -45,7 +45,16 @@ object SparkEntry {
         .select("doc_id", "pos", "subject_id", "predicate", "object_id",
           "confidence")),
     "q07_edges" -> ((s, dir) => Pipeline.edges(s, dir)),
-    "q08_char_graph" -> ((s, dir) => Pipeline.charGraph(s, dir))
+    "q08_char_graph" -> ((s, dir) => Pipeline.charGraph(s, dir)),
+    "q09_clusters" -> ((s, dir) =>
+      graft.extract.Canonicalize.clusters(
+        s, Pipeline.textual(s, dir), Pipeline.mentions(s, dir))._1),
+    "q10_cluster_registry" -> ((s, dir) => {
+      val mentions = Pipeline.mentions(s, dir)
+      val (assignment, _) = graft.extract.Canonicalize.clusters(
+        s, Pipeline.textual(s, dir), mentions)
+      graft.extract.Canonicalize.registry(s, mentions, assignment)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -53,6 +62,9 @@ object SparkEntry {
       Oracles.overSyn(s", ${Oracles.entityRowsCte}\n$sel")
     val withTriples = (sel: String) =>
       Oracles.overSyn(s", ${Oracles.tripleRowsCte}\n$sel")
+    val withClusters = (sel: String) =>
+      Oracles.overSyn(
+        s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte}\n$sel")
     Map(
       "q01_passages" -> Oracles.overSyn(
         "SELECT doc_id, pos, kind, text, media_ref, \"offset\" FROM syn"),
@@ -83,7 +95,18 @@ object SparkEntry {
           |       count(*) AS conversations
           |FROM triple_rows
           |WHERE predicate IN ('SPOKE_TO', 'SPOKE_WITH')
-          |GROUP BY 1, 2""".stripMargin)
+          |GROUP BY 1, 2""".stripMargin),
+      "q09_clusters" -> withClusters(
+        "SELECT node, cluster FROM l2"),
+      "q10_cluster_registry" -> withClusters(
+        """SELECT l2.cluster,
+          |       arg_min(er.text, er.doc_id || '#' || lpad(CAST(er.pos AS VARCHAR), 6, '0')
+          |               || '#' || lpad(CAST(er.start AS VARCHAR), 6, '0')) AS canonical_name,
+          |       count(DISTINCT l2.node) AS member_count,
+          |       count(*) AS mention_count
+          |FROM entity_rows er
+          |JOIN l2 ON l2.node = lower(er.text)
+          |GROUP BY 1""".stripMargin)
     )
   }
 }

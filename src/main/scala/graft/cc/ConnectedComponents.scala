@@ -1,0 +1,69 @@
+package graft.cc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative min-label-propagation connected components over a string-keyed
+  * undirected edge Dataset — the canonicalization engine prescribed by the
+  * north rule ("connected-components over an alias-similarity edge Dataset
+  * with iterative DataFrame joins checkpointed per superstep").
+  *
+  * Each superstep: every node takes the min label among itself and its
+  * neighbors. The frontier DataFrame is checkpointed each superstep
+  * (localCheckpoint — lineage truncation so plan depth stays O(1) instead
+  * of O(supersteps)), and a (superstep, changed, active) metrics row is
+  * recorded through the supplied sink for the lineage/metrics table.
+  * Converges in O(diameter) supersteps; alias graphs are near-star-shaped
+  * so this is 2-3 in practice. maxIter caps runaway graphs.
+  *
+  * Reference semantics replaced: the order-dependent incremental cluster
+  * merging of dynamic_resolver.py:93-309 (SURVEY.md §2.5 D7, §7.4 risk 1) —
+  * re-expressed as an order-independent fixpoint.
+  */
+object ConnectedComponents {
+
+  final case class Superstep(superstep: Int, changed: Long, active: Long)
+
+  /** @param edges  DataFrame with string columns (src, dst)
+    * @param nodes  DataFrame with string column (node); superset of edge
+    *               endpoints (singletons allowed)
+    * @return (assignment DataFrame (node, cluster), superstep metrics)
+    */
+  def run(
+      spark: SparkSession,
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Seq[Superstep]) = {
+
+    // symmetric edge set, self-contained column names
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+
+    var labels = nodes.select(col("node"), col("node").as("cluster"))
+      .localCheckpoint(true)
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[Superstep]
+
+    var converged = false
+    var step = 0
+    while (!converged && step < maxIter) {
+      step += 1
+      // neighbor labels: for node a, labels of its neighbors b
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("cluster"))
+      val next = labels.select("node", "cluster")
+        .union(neighborLabels)
+        .groupBy("node")
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true) // truncate lineage per superstep
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
+        .filter(col("cluster") =!= col("old"))
+        .count()
+      metrics += Superstep(step, changed, next.count())
+      labels = next
+      converged = changed == 0
+    }
+    (labels, metrics.toSeq)
+  }
+}

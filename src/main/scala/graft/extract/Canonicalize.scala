@@ -1,0 +1,153 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cc.ConnectedComponents
+
+/** Dynamic (zero-seed) entity canonicalization — reference
+  * DynamicEntityResolver (extract/dynamic_resolver.py), re-expressed as
+  * alias-similarity edge generation + connected components (SURVEY.md §2.5).
+  *
+  * Edge sources, each mirroring a reference merge rule:
+  *  - article-strip equality ("the X" == "X")           (D1 tier 2)
+  *  - fuzzy indel ratio >= 0.90, blocked self-join      (D1 tier 3)
+  *  - explicit alias statements, 4 regexes              (D6)
+  *  - co-occurrence >= 3 passing _should_merge           (D2-D4)
+  *
+  * Cluster representative: the component's first-seen mention by total
+  * order (doc_id, pos, start) — deterministic, order-independent stand-in
+  * for the reference's "first mention wins" (§7.4 risk 1).
+  */
+object Canonicalize {
+
+  /** D6 alias regexes, ported from dynamic_resolver.py:328-334. */
+  private val AliasPatterns: Seq[Pattern] = Seq(
+    """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+whose\s+(?:real\s+)?name\s+was\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""",
+    """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s*\((?:also\s+)?(?:known|called)\s+(?:as\s+)?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\)""",
+    """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+or\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+as\s+(?:he|she|they)\s+(?:was|were)\s+(?:called|known)""",
+    """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+(?:whom|who)\s+(?:they|we|people)\s+(?:called|named)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)"""
+  ).map(Pattern.compile)
+
+  /** Explicit alias pairs from passage text (lowercased keys). */
+  def aliasPairs(spark: SparkSession, textualPassages: DataFrame): DataFrame = {
+    import spark.implicits._
+    textualPassages.select("text").as[String].mapPartitions { it =>
+      it.flatMap { text =>
+        AliasPatterns.flatMap { p =>
+          val m = p.matcher(text)
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (m.find()) b += ((m.group(1).toLowerCase, m.group(2).toLowerCase))
+          b
+        }
+      }
+    }.toDF("src", "dst").distinct()
+  }
+
+  /** Same-passage co-occurrence pair counts by mention-text key (D2).
+    * Pairs are generated inside a per-passage fold (collect_set + explode
+    * of local combinations) — no self-join, so head-entity skew cannot
+    * produce a hot join key; passages are sentences, so the per-row pair
+    * count is tiny and bounded.
+    */
+  def cooccurrence(mentions: DataFrame): DataFrame = {
+    val keyed = mentions.select(
+      col("doc_id"), col("pos"), Linker.cleanKey(col("text")).as("k"))
+    val perPassage = keyed.groupBy("doc_id", "pos")
+      .agg(array_sort(collect_set(col("k"))).as("ks"))
+      .filter(size(col("ks")) >= 2)
+    // local pair expansion: (ks[i], ks[j]) for i<j
+    perPassage.select(explode(expr(
+      """flatten(transform(ks, (x, i) ->
+        |  transform(slice(ks, i + 2, size(ks)), y -> struct(x AS src, y AS dst))))"""
+        .stripMargin)).as("pair"))
+      .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** _should_merge heuristic (D4, dynamic_resolver.py:244-264):
+    * substring containment either way, or "the X" == X.
+    */
+  private def shouldMerge(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    a.contains(b) || b.contains(a) ||
+      (a === concat(lit("the "), b)) || (b === concat(lit("the "), a))
+
+  /** Build the full alias-similarity edge set over mention keys. */
+  def edges(
+      spark: SparkSession,
+      textualPassages: DataFrame,
+      mentions: DataFrame): DataFrame = {
+    val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
+    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node")).distinct()
+
+    // 1. article-strip equality
+    val stripped = nodes
+      .withColumn("stripped", Linker.stripArticle(col("node")))
+      .filter(col("stripped") =!= col("node"))
+    val eArticle = stripped
+      .join(nodes.withColumnRenamed("node", "dst"),
+        col("stripped") === col("dst"))
+      .select(col("node").as("src"), col("dst"))
+
+    // 2. blocked fuzzy self-join at the 0.90 cluster-match threshold
+    //    (dynamic_resolver.py:148-151); blocking = (first char, len band)
+    val n1 = nodes.select(col("node").as("src"),
+      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len1"))
+    val n2 = nodes.select(col("node").as("dst"),
+      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len2"))
+    val eFuzzy = n1.join(n2, Seq("blk"))
+      .filter(col("src") < col("dst") &&
+        abs(col("len1") - col("len2")) <= 3)
+      .filter(ratioUdf(col("src"), col("dst")) >= 0.90)
+      .select("src", "dst")
+
+    // 3. explicit alias statements
+    val eAlias = aliasPairs(spark, textualPassages)
+      .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+
+    // 4. co-occurrence >= 3 passing the merge heuristic (D3 default
+    //    min_cooccurrence=3, dynamic_resolver.py:196)
+    val eCooc = cooccurrence(mentions)
+      .filter(col("cnt") >= 3)
+      .filter(shouldMerge(col("src"), col("dst")))
+      .select("src", "dst")
+
+    eArticle.union(eFuzzy).union(eAlias).union(eCooc).distinct()
+  }
+
+  /** Full canonicalization: (node -> cluster) assignment plus superstep
+    * metrics. Cluster id = min member key (deterministic).
+    */
+  def clusters(
+      spark: SparkSession,
+      textualPassages: DataFrame,
+      mentions: DataFrame): (DataFrame, Seq[ConnectedComponents.Superstep]) = {
+    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node")).distinct()
+    val e = edges(spark, textualPassages, mentions)
+    ConnectedComponents.run(spark, nodes, e)
+  }
+
+  /** Cluster registry: representative name = first-seen mention text by
+    * (doc_id, pos, start); sizes and mention counts per cluster.
+    */
+  def registry(
+      spark: SparkSession,
+      mentions: DataFrame,
+      assignment: DataFrame): DataFrame = {
+    val keyed = mentions
+      .withColumn("node", Linker.cleanKey(col("text")))
+      .withColumn("seen_key",
+        concat(col("doc_id"), lit("#"),
+          lpad(col("pos").cast("string"), 6, "0"), lit("#"),
+          lpad(col("start").cast("string"), 6, "0")))
+    keyed.join(assignment, Seq("node"))
+      .groupBy(col("cluster"))
+      .agg(
+        min_by(col("text"), col("seen_key")).as("canonical_name"),
+        countDistinct(col("node")).as("member_count"),
+        count(lit(1)).as("mention_count"))
+  }
+}

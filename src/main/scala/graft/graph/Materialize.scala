@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Pipeline
+import graft.extract.Canonicalize
+
+/** Graph materialization as edge/vertex tables with MERGE-with-aggregate
+  * semantics — the table re-expression of the reference's Neo4j writers
+  * (graph/writer.py, SURVEY.md §2.8). Writes flow through [[Checkpoints]]
+  * so a restarted job resumes after the last complete stage.
+  */
+object Materialize {
+
+  /** Edge-table delta for this run: aggregated triples with ordered
+    * passage-id sets (G2, writer.py:135-222).
+    */
+  def edgeDelta(triples: DataFrame): DataFrame =
+    triples
+      .filter(col("subject_id").isNotNull && col("object_id").isNotNull)
+      .groupBy(
+        col("subject_id").as("src"),
+        col("object_id").as("dst"),
+        col("predicate").as("type"))
+      .agg(
+        count(lit(1)).as("mention_count"),
+        sort_array(collect_set(col("passage_id"))).as("passage_ids"),
+        min(col("passage_id")).as("first_passage"))
+
+  /** MERGE INTO edges semantics (writer.py:200-216): matched rows add
+    * mention_count and set-union passage_ids; unmatched insert.
+    */
+  def mergeEdges(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val e = existing.select(
+      col("src"), col("dst"), col("type"),
+      col("mention_count").as("mc_old"),
+      col("passage_ids").as("p_old"),
+      col("first_passage").as("fp_old"))
+    val d = delta.select(
+      col("src"), col("dst"), col("type"),
+      col("mention_count").as("mc_new"),
+      col("passage_ids").as("p_new"),
+      col("first_passage").as("fp_new"))
+    e.join(d, Seq("src", "dst", "type"), "full_outer")
+      .select(
+        col("src"), col("dst"), col("type"),
+        (coalesce(col("mc_old"), lit(0L)) + coalesce(col("mc_new"), lit(0L)))
+          .as("mention_count"),
+        sort_array(array_distinct(concat(
+          coalesce(col("p_old"), array()),
+          coalesce(col("p_new"), array())))).as("passage_ids"),
+        least(col("fp_old"), col("fp_new")).as("first_passage"))
+  }
+
+  /** Vertex MERGE (G1, writer.py:41-133): mention_count accumulates,
+    * first_seen_doc keeps the minimum.
+    */
+  def vertexDelta(linked: DataFrame): DataFrame = {
+    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
+    linked
+      .withColumn("vid", coalesce(col("canonical_id"), concat(lit("new_"), slug)))
+      .groupBy(col("vid").as("id"), col("entity_type").as("label"))
+      .agg(
+        count(lit(1)).as("mention_count"),
+        min(coalesce(col("canonical_name"), col("text"))).as("canonical_name"),
+        min(col("doc_id")).as("first_seen_doc"))
+  }
+
+  def mergeVertices(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val e = existing.select(col("id"), col("label"),
+      col("mention_count").as("mc_old"), col("canonical_name").as("cn_old"),
+      col("first_seen_doc").as("fs_old"))
+    val d = delta.select(col("id"), col("label"),
+      col("mention_count").as("mc_new"), col("canonical_name").as("cn_new"),
+      col("first_seen_doc").as("fs_new"))
+    e.join(d, Seq("id", "label"), "full_outer")
+      .select(col("id"), col("label"),
+        (coalesce(col("mc_old"), lit(0L)) + coalesce(col("mc_new"), lit(0L)))
+          .as("mention_count"),
+        coalesce(col("cn_old"), col("cn_new")).as("canonical_name"),
+        least(col("fs_old"), col("fs_new")).as("first_seen_doc"))
+  }
+
+  /** Passages persisted only when they carry relationships (G5 left-semi,
+    * writer.py:350), text truncated to 500 chars (G3, writer.py:257).
+    */
+  def passageVertices(passages: DataFrame, triples: DataFrame): DataFrame =
+    passages
+      .join(triples.select("passage_id").distinct(), Seq("passage_id"), "left_semi")
+      .select(col("passage_id"), col("doc_id"), col("pos"),
+        substring(col("text"), 1, 500).as("text"))
+
+  /** Run the full KG-construction pipeline through the checkpointed stage
+    * runner; returns the final edge table. Resume-safe: stages already
+    * complete in the warehouse are loaded, not recomputed.
+    */
+  def runAll(spark: SparkSession, sfDir: String, warehouse: String): DataFrame = {
+    val ck = new Checkpoints(spark, warehouse)
+
+    val passages = ck.stage("passages") { Pipeline.textual(spark, sfDir) }
+    val mentions = ck.stage("mentions") {
+      graft.extract.Mentions.fromPassages(spark, passages).toDF()
+    }
+    val linked = ck.stage("linked") {
+      graft.extract.Linker.link(spark, mentions)
+    }
+    val triples = ck.stage("triples") {
+      graft.extract.Triples.fromPassages(spark, passages, linked).toDF()
+    }
+    ck.stage("clusters") {
+      val (assignment, steps) = Canonicalize.clusters(spark, passages, mentions)
+      steps.foreach(s =>
+        ck.recordMetric("cc_superstep", s.superstep, s.changed, "superstep"))
+      assignment
+    }
+    ck.stage("vertices") { vertexDelta(linked) }
+    ck.stage("passage_vertices") { passageVertices(passages, triples) }
+    ck.stage("edges") { edgeDelta(triples) }
+  }
+}

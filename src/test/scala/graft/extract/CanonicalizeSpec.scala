@@ -1,0 +1,76 @@
+package graft.extract
+
+import graft.{Lexicon, SparkSpec}
+import graft.cc.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class CanonicalizeSpec extends SparkSpec {
+
+  test("oracle assumption: 0.90 fuzzy edges are exactly typo(c)~c with len(c)>=6") {
+    val names = Lexicon.Chars.map(_.toLowerCase) ++
+      Lexicon.CharAliases.map(_.toLowerCase) ++
+      Lexicon.Places.map(_.toLowerCase) :+ "third age"
+    val typos = Lexicon.Chars.map(_.toLowerCase.dropRight(1))
+    val keys = (names ++ typos).distinct
+    for (a <- keys; b <- keys if a < b) {
+      val r = Linker.indelRatio(a, b)
+      val isTypoEdge = Lexicon.Chars.map(_.toLowerCase).exists(c =>
+        c.length >= 6 && Set(a, b) == Set(c, c.dropRight(1)))
+      if (r >= 0.90) assert(isTypoEdge, s"unexpected fuzzy edge $a ~ $b ($r)")
+      if (isTypoEdge) assert(r >= 0.90, s"expected fuzzy edge missing $a ~ $b ($r)")
+    }
+  }
+
+  test("oracle assumption: no containment merges among planted keys") {
+    val keys = Lexicon.Chars.map(_.toLowerCase) ++
+      Lexicon.CharAliases.map(_.toLowerCase) ++
+      Lexicon.Places.map(_.toLowerCase) :+ "third age"
+    for (a <- keys; b <- keys if a != b)
+      assert(!a.contains(b) && b != s"the $a",
+        s"containment merge hazard: $a vs $b")
+  }
+
+  test("alias regexes capture the reference's four statement shapes (D6)") {
+    import spark.implicits._
+    val texts = Seq(
+      "Aragorn, whose real name was Elessar, rode on.",
+      "Gandalf (also known as Mithrandir) rested.",
+      "Strider, or Aragorn as he was called, stood up.",
+      "Gollum, whom they called Smeagol, crept away.").toDF("text")
+    val pairs = Canonicalize.aliasPairs(spark, texts)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(
+      ("aragorn", "elessar"), ("gandalf", "mithrandir"),
+      ("strider", "aragorn"), ("gollum", "smeagol")))
+  }
+
+  test("connected components: transitive closure, order-independent") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("node")
+    val edges = Seq(("c", "b"), ("b", "a"), ("e", "d")).toDF("src", "dst")
+    val (assign, steps) = ConnectedComponents.run(spark, nodes, edges)
+    val m = assign.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f"))
+    assert(steps.last.changed == 0)
+    // reversed edge orientation must give the same result
+    val edges2 = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val (assign2, _) = ConnectedComponents.run(spark, nodes, edges2)
+    val m2 = assign2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2 == m)
+  }
+
+  test("cooccurrence counts pairs per passage without self-join") {
+    import spark.implicits._
+    val mentions = Seq(
+      ("d1", 0, "Gandalf"), ("d1", 0, "Bilbo"), ("d1", 0, "Thorin"),
+      ("d1", 1, "Gandalf"), ("d1", 1, "Bilbo"),
+      ("d2", 0, "Bilbo"), ("d2", 0, "Gandalf"))
+      .toDF("doc_id", "pos", "text")
+    val c = Canonicalize.cooccurrence(mentions)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(c(("bilbo", "gandalf")) == 3)
+    assert(c(("bilbo", "thorin")) == 1)
+    assert(c(("gandalf", "thorin")) == 1)
+  }
+}

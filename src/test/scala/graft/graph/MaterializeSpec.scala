@@ -1,0 +1,67 @@
+package graft.graph
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("edge MERGE semantics: counts add, passage_ids set-union (writer.py:200-216)") {
+    import spark.implicits._
+    val existing = Seq(("a", "b", "MET", 2L, Seq("p1", "p2"), "p1"))
+      .toDF("src", "dst", "type", "mention_count", "passage_ids", "first_passage")
+    val delta = Seq(
+      ("a", "b", "MET", 1L, Seq("p2", "p3"), "p2"),
+      ("a", "c", "KILLED", 1L, Seq("p4"), "p4"))
+      .toDF("src", "dst", "type", "mention_count", "passage_ids", "first_passage")
+    val merged = Materialize.mergeEdges(existing, delta)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getSeq[String](4), r.getString(5)))).toMap
+    assert(merged(("a", "b", "MET")) == ((3L, Seq("p1", "p2", "p3"), "p1")))
+    assert(merged(("a", "c", "KILLED")) == ((1L, Seq("p4"), "p4")))
+  }
+
+  test("pipeline resume: completed stages are loaded, restart is identical") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val edges1 = Materialize.runAll(spark, sf, wh)
+    val snapshot = edges1.orderBy("src", "dst", "type").collect().toSeq
+    assert(snapshot.nonEmpty)
+
+    // capture stage output mtime, then rerun — stages must be skipped
+    val passagesFile = new java.io.File(s"$wh/passages/_SUCCESS")
+    val mtime = passagesFile.lastModified()
+    val edges2 = Materialize.runAll(spark, sf, wh)
+    val snapshot2 = edges2.orderBy("src", "dst", "type").collect().toSeq
+    assert(snapshot2 == snapshot)
+    assert(passagesFile.lastModified() == mtime, "stage was recomputed on resume")
+
+    // simulate a mid-run kill: later stage output lost; earlier stages reused
+    val edgesDir = new java.io.File(s"$wh/edges")
+    edgesDir.listFiles().foreach(_.delete())
+    edgesDir.delete()
+    val edges3 = Materialize.runAll(spark, sf, wh)
+    assert(edges3.orderBy("src", "dst", "type").collect().toSeq == snapshot)
+    assert(passagesFile.lastModified() == mtime, "early stage recomputed after kill")
+  }
+
+  test("checkpoint table carries per-partition lineage and CC supersteps") {
+    val wh = Files.createTempDirectory("graft_wh2").toString
+    Materialize.runAll(spark, sf, wh)
+    val ck = new Checkpoints(spark, wh).checkpointTable()
+    val stages = ck.select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("passages", "mentions", "linked", "triples", "clusters",
+      "vertices", "edges", "cc_superstep").subsetOf(stages))
+    // lineage rows_out sums to the stage's row count
+    val passRows = spark.read.parquet(s"$wh/passages").count()
+    val ckSum = ck.filter(col("stage") === "passages")
+      .agg(sum("rows_out")).collect()(0).getLong(0)
+    assert(ckSum == passRows)
+    // CC converged: last superstep has changed = 0
+    val last = ck.filter(col("stage") === "cc_superstep")
+      .orderBy(col("partition_id").desc).limit(1)
+      .select("rows_out").collect()(0).getLong(0)
+    assert(last == 0L)
+  }
+}
