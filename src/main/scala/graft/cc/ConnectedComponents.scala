@@ -35,10 +35,13 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIter: Int = 20): (DataFrame, Seq[Superstep]) = {
 
-    // symmetric edge set, self-contained column names
+    // symmetric edge set, self-contained column names; materialized once —
+    // otherwise every superstep would recompute the (expensive) upstream
+    // edge derivation (fuzzy self-join, alias regex scan)
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
+      .localCheckpoint(true)
 
     var labels = nodes.select(col("node"), col("node").as("cluster"))
       .localCheckpoint(true)

@@ -125,8 +125,11 @@ object Canonicalize {
       spark: SparkSession,
       textualPassages: DataFrame,
       mentions: DataFrame): (DataFrame, Seq[ConnectedComponents.Superstep]) = {
-    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node")).distinct()
-    val e = edges(spark, textualPassages, mentions)
+    // materialize the mention stage once — nodes and three of the four
+    // edge families all read it
+    val m = mentions.select("doc_id", "pos", "text").localCheckpoint(true)
+    val nodes = m.select(Linker.cleanKey(col("text")).as("node")).distinct()
+    val e = edges(spark, textualPassages, m)
     ConnectedComponents.run(spark, nodes, e)
   }
 
