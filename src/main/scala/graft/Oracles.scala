@@ -58,8 +58,10 @@ object Oracles {
        |         WHEN m >= 18 THEN 'media' ELSE 'text' END AS kind,
        |    CASE
        |      WHEN m <= 10 THEN $subj || ' ' || $verb || ' ' || $obj || '.'
-       |      WHEN m BETWEEN 11 AND 12 THEN
+       |      WHEN m = 11 THEN
        |        '"We must ride to ' || $place || ' at dawn," said ' || $subj || '.'
+       |      WHEN m = 12 THEN
+       |        '"How do we get to ' || $place || ' at dawn?" asked ' || $subj || '.'
        |      WHEN m = 13 THEN $subj || ' said, "All is well in ' || $place || '."'
        |      WHEN m = 14 THEN $typo || ' ' || $verb || ' ' || $obj || '.'
        |      WHEN m BETWEEN 15 AND 16 THEN
@@ -136,13 +138,20 @@ object Oracles {
       row("m <= 10", eObj, s"length($eSubj) + 1 + length($eVerb) + 1",
         objLabel, "'gazetteer'", "0.85", objId, objType, "1.0", "FALSE",
         "text object"),
-      row("m BETWEEN 11 AND 12", ePlace, "length('\"We must ride to ')",
+      row("m = 11", ePlace, "length('\"We must ride to ')",
         "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
         "1.0", "FALSE", "dialogue-1 place"),
-      row("m BETWEEN 11 AND 12", eSubj,
+      row("m = 11", eSubj,
         s"length('\"We must ride to ') + length($ePlace) + length(' at dawn,\" said ')",
         "'PERSON'", "'gazetteer'", "0.85", s"lower($eSubj)", "'character'",
         "1.0", "FALSE", "dialogue-1 speaker"),
+      row("m = 12", ePlace, "length('\"How do we get to ')",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
+        "1.0", "FALSE", "dialogue-1q place"),
+      row("m = 12", eSubj,
+        s"length('\"How do we get to ') + length($ePlace) + length(' at dawn?\" asked ')",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eSubj)", "'character'",
+        "1.0", "FALSE", "dialogue-1q speaker"),
       row("m = 13", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
         s"lower($eSubj)", "'character'", "1.0", "FALSE", "dialogue-2 speaker"),
       row("m = 13", ePlace,
@@ -207,6 +216,45 @@ object Oracles {
        |    SELECT s.a AS node, l.c AS x FROM sym s JOIN l1 l ON l.node = s.b
        |  ) GROUP BY node
        |)""".stripMargin
+
+  /** Expected dialogue lines (V1/V3 outcome on the planted templates). */
+  val dialogueCte: String =
+    s"""dlg AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN m = 11 THEN 'We must ride to ' || $ePlace || ' at dawn,'
+       |         WHEN m = 12 THEN 'How do we get to ' || $ePlace || ' at dawn?'
+       |         ELSE 'All is well in ' || $ePlace || '.' END AS quote,
+       |    $eSubj AS speaker,
+       |    CASE WHEN m = 12 THEN 'asked' ELSE 'said' END AS speech_verb,
+       |    CAST(0.9 AS DOUBLE) AS attribution_confidence,
+       |    (m = 12) AS is_question,
+       |    FALSE AS is_exclamation
+       |  FROM syn WHERE m BETWEEN 11 AND 13
+       |)""".stripMargin
+
+  /** Expected events (E5/E6 outcome): planted verbs that are also event
+    * verbs — traveled(1), fought(2), met(3), killed(5) — plus the temporal
+    * 'returned' rows carrying year + THIRD_AGE.
+    */
+  val eventRowsCte: String = {
+    val agent = s"CASE WHEN m = 14 THEN $eTypo ELSE $eSubj END"
+    val action = sqlElem(Seq("", "traveled", "fought", "met", "", "killed", "", ""), "v")
+    val patient = s"CASE WHEN v = 1 THEN 'to ' || $ePlace ELSE $eObjC END"
+    s"""event_rows AS (
+       |  SELECT doc_id, pos,
+       |    lower(replace($agent || '_' || $action || '_' || $patient, ' ', '_')) AS event_id,
+       |    $agent AS agent, $action AS action, $patient AS patient,
+       |    CAST(NULL AS INT) AS year, CAST(NULL AS VARCHAR) AS era,
+       |    CAST(0.6 AS DOUBLE) AS confidence
+       |  FROM syn WHERE (m <= 10 OR m = 14) AND v IN (1, 2, 3, 5)
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    lower(replace($eSubj || '_returned_to ' || $ePlace, ' ', '_')) AS event_id,
+       |    $eSubj, 'returned', 'to ' || $ePlace, y, 'THIRD_AGE',
+       |    CAST(0.6 AS DOUBLE)
+       |  FROM syn WHERE m = 17
+       |)""".stripMargin
+  }
 
   /** Expected triples: doc_id, pos, subject_id, predicate, object_id. */
   val tripleRowsCte: String =

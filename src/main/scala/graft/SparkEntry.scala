@@ -54,7 +54,45 @@ object SparkEntry {
       val (assignment, _) = graft.extract.Canonicalize.clusters(
         s, Pipeline.textual(s, dir), mentions)
       graft.extract.Canonicalize.registry(s, mentions, assignment)
-    })
+    }),
+    "q11_dialogue" -> ((s, dir) =>
+      graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir))
+        .select("doc_id", "pos", "quote", "speaker", "speech_verb",
+          "attribution_confidence", "is_question", "is_exclamation")),
+    "q12_voice_profiles" -> ((s, dir) =>
+      graft.voice.Dialogue.voiceProfiles(s,
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+    "q13_style_doc" -> ((s, dir) => {
+      val txt = Pipeline.textual(s, dir)
+      val metrics = graft.style.Metrics.sentenceMetrics(txt, col("text"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("sentences"),
+          sum(col("word_count").cast("long")).as("words"),
+          sum(col("char_count").cast("long")).as("chars"))
+      val dlg = graft.voice.Dialogue.fromPassages(s, txt)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("quotes"),
+          sum(when(col("is_question"), 1L).otherwise(0L)).as("question_quotes"),
+          sum(col("quote_chars").cast("long")).as("qchars"))
+      metrics.join(dlg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sentences"), col("words"),
+          coalesce(col("quotes"), lit(0L)).as("quotes"),
+          coalesce(col("question_quotes"), lit(0L)).as("question_quotes"),
+          round(coalesce(col("qchars"), lit(0L)).cast("double")
+            / col("chars"), 4).as("dialogue_ratio"))
+    }),
+    "q14_readability" -> ((s, dir) =>
+      graft.style.Metrics.readability(
+        s, Pipeline.textual(s, dir), Seq("doc_id"))
+        .select("doc_id", "sentences", "words", "syllables",
+          "complex_words", "flesch", "fk_grade", "gunning_fog")),
+    "q15_events" -> ((s, dir) =>
+      graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir))
+        .select("doc_id", "pos", "event_id", "agent", "action", "patient",
+          "year", "era", "confidence")),
+    "q16_event_order" -> ((s, dir) =>
+      graft.lore.Events.inferOrdering(
+        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF()))
   )
 
   def oracleSql: Map[String, String] = {
@@ -65,6 +103,10 @@ object SparkEntry {
     val withClusters = (sel: String) =>
       Oracles.overSyn(
         s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte}\n$sel")
+    val withDialogue = (sel: String) =>
+      Oracles.overSyn(s", ${Oracles.dialogueCte}\n$sel")
+    val withEvents = (sel: String) =>
+      Oracles.overSyn(s", ${Oracles.eventRowsCte}\n$sel")
     Map(
       "q01_passages" -> Oracles.overSyn(
         "SELECT doc_id, pos, kind, text, media_ref, \"offset\" FROM syn"),
@@ -106,7 +148,47 @@ object SparkEntry {
           |       count(*) AS mention_count
           |FROM entity_rows er
           |JOIN l2 ON l2.node = lower(er.text)
-          |GROUP BY 1""".stripMargin)
+          |GROUP BY 1""".stripMargin),
+      "q11_dialogue" -> withDialogue(
+        """SELECT doc_id, pos, quote, speaker, speech_verb,
+          |       attribution_confidence, is_question, is_exclamation
+          |FROM dlg""".stripMargin),
+      "q12_voice_profiles" -> withDialogue(
+        """SELECT speaker, count(*) AS total_lines,
+          |       sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS questions,
+          |       sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS exclamations,
+          |       sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS statements,
+          |       round(avg(len(regexp_split_to_array(trim(quote), '\s+'))), 4) AS avg_words,
+          |       sum(len(regexp_split_to_array(trim(quote), '\s+'))) AS total_words
+          |FROM dlg GROUP BY 1 HAVING count(*) >= 3""".stripMargin),
+      "q13_style_doc" -> withDialogue(
+        """SELECT s.doc_id,
+          |       count(*) AS sentences,
+          |       sum(len(regexp_split_to_array(trim(s.text), '\s+'))) AS words,
+          |       coalesce(any_value(d.quotes), 0) AS quotes,
+          |       coalesce(any_value(d.question_quotes), 0) AS question_quotes,
+          |       round(coalesce(any_value(d.qchars), 0)::DOUBLE / sum(length(s.text)), 4)
+          |         AS dialogue_ratio
+          |FROM syn s
+          |LEFT JOIN (SELECT doc_id, count(*) AS quotes,
+          |                  sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS question_quotes,
+          |                  sum(length(quote)) AS qchars
+          |           FROM dlg GROUP BY 1) d ON d.doc_id = s.doc_id
+          |WHERE s.kind <> 'media'
+          |GROUP BY 1""".stripMargin),
+      "q15_events" -> withEvents(
+        """SELECT doc_id, pos, event_id, agent, action, patient, year, era,
+          |       confidence
+          |FROM event_rows""".stripMargin),
+      "q16_event_order" -> withEvents(
+        """SELECT doc_id,
+          |       lag(event_id) OVER w AS event1_id,
+          |       event_id AS event2_id,
+          |       'BEFORE' AS relation,
+          |       CAST(0.9 AS DOUBLE) AS confidence
+          |FROM event_rows WHERE year IS NOT NULL
+          |WINDOW w AS (PARTITION BY doc_id ORDER BY year, pos)
+          |QUALIFY lag(event_id) OVER w IS NOT NULL AND lag(year) OVER w <> year""".stripMargin)
     )
   }
 }

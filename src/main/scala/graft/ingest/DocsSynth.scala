@@ -16,7 +16,8 @@ import graft.Lexicon._
   *
   * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 20:
   *   0..10  text: "<Char> <verb-phrase> <Char|Place>."          (triple)
-  *   11..12 dialogue tier-1: "\"We must ride to <Place> at dawn,\" said <Char>."
+  *   11     dialogue tier-1: "\"We must ride to <Place> at dawn,\" said <Char>."
+  *   12     dialogue tier-1 question: "\"How do we get to <Place> at dawn?\" asked <Char>."
   *   13     dialogue tier-2: "<Char> said, \"All is well in <Place>.\""
   *   14     text, typo'd subject (fuzzy-linking exercise): "<Cha_> <verb> <obj>."
   *   15..16 text alias: "<Char> (also known as <Alias>) rested quietly."
@@ -61,8 +62,10 @@ object DocsSynth {
       .otherwise("text")
 
     val text = when(m <= 10, concat(subj, lit(" "), verbPhrase, lit(" "), obj, lit(".")))
-      .when(m.between(11, 12),
+      .when(m === 11,
         concat(lit("\"We must ride to "), place, lit(" at dawn,\" said "), subj, lit(".")))
+      .when(m === 12,
+        concat(lit("\"How do we get to "), place, lit(" at dawn?\" asked "), subj, lit(".")))
       .when(m === 13,
         concat(subj, lit(" said, \"All is well in "), place, lit(".\"")))
       .when(m === 14, concat(typo, lit(" "), verbPhrase, lit(" "), obj, lit(".")))

@@ -1,0 +1,140 @@
+package graft.lore
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Lexicon
+
+/** An extracted event. Reference: Event (lore/events.py:19-60). */
+final case class EventRow(
+    doc_id: String,
+    pos: Int,
+    passage_id: String,
+    event_id: String,
+    agent: String,
+    action: String,
+    patient: String,
+    year: Option[Int],
+    era: Option[String],
+    confidence: Double)
+
+/** Deterministic event extraction (E5 pattern path, lore/events.py:621-646),
+  * year/era parsing (E6, :648-673), chunk dedup (E3, :381-395) and
+  * temporal-ordering inference (E9, :433-500 via a lag window).
+  */
+object Events {
+
+  /** One compiled pattern per event verb: NAME verb(ed|s)? (the)? OBJECT. */
+  private lazy val patterns: Seq[(String, Pattern)] =
+    Lexicon.EventVerbs.distinct.map { verb =>
+      verb -> Pattern.compile(
+        s"""([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)?)\\s+$verb(?:ed|s)?\\s+(?:the\\s+)?([A-Za-z]+(?:\\s+[A-Za-z]+)?)""")
+    }
+
+  /** Year patterns (lore/events.py:271-275), first match wins. */
+  private val YearPatterns: Seq[Pattern] = Seq(
+    """(?:in\s+)?(?:the\s+)?(?:year\s+)?(\d+)\s+(?:of\s+the\s+)?(?:(First|Second|Third|Fourth)\s+Age|([TFS])\.?A\.?)""",
+    """(?:(First|Second|Third|Fourth)\s+Age)\s+(\d+)""",
+    """([TFS])\.?A\.?\s*(\d+)"""
+  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+
+  private def eraOf(g: String): Option[String] = g.toLowerCase match {
+    case "first" | "f" => Some("FIRST_AGE")
+    case "second" | "s" => Some("SECOND_AGE")
+    case "third" | "t" => Some("THIRD_AGE")
+    case "fourth" => Some("FOURTH_AGE")
+    case _ => None
+  }
+
+  /** Era ordering (lore/temporal.py:17-64). */
+  val EraOrder: Map[String, Int] = Map(
+    "BEFORE_TIME" -> 0, "FIRST_AGE" -> 1, "SECOND_AGE" -> 2,
+    "THIRD_AGE" -> 3, "FOURTH_AGE" -> 4)
+
+  /** extract_year (E6): first pattern with a match. */
+  private[lore] def extractYear(text: String): (Option[Int], Option[String]) = {
+    YearPatterns.foreach { p =>
+      val m = p.matcher(text)
+      if (m.find()) {
+        var year: Option[Int] = None
+        var era: Option[String] = None
+        (1 to m.groupCount).foreach { i =>
+          Option(m.group(i)).foreach { g =>
+            if (g.forall(_.isDigit)) year = Some(g.toInt)
+            else if (era.isEmpty) era = eraOf(g)
+          }
+        }
+        return (year, era)
+      }
+    }
+    (None, None)
+  }
+
+  /** Pure per-passage extraction with normalized-key dedup (E3):
+    * agent|action-stem|patient-article-stripped, first hit wins.
+    */
+  private[lore] def extract(text: String): Seq[(String, String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
+    patterns.foreach { case (verb, p) =>
+      val m = p.matcher(text)
+      while (m.find()) {
+        val agent = m.group(1)
+        val patient = m.group(2)
+        val norm = s"${agent.toLowerCase}|${verb.stripSuffix("ed").stripSuffix("s")}|${
+          patient.toLowerCase.replaceFirst("^(the|a|an) ", "")}"
+        if (!seen.contains(norm)) seen(norm) = (agent, verb, patient)
+      }
+    }
+    seen.values.toSeq
+  }
+
+  /** Spark stage: passages -> events with per-passage year/era context. */
+  def fromPassages(spark: SparkSession, passages: DataFrame): Dataset[EventRow] = {
+    import spark.implicits._
+    passages.select("doc_id", "pos", "passage_id", "text")
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, pos, pid, text) =>
+          val (year, era) = extractYear(text)
+          extract(text).map { case (agent, action, patient) =>
+            val id = s"${agent.toLowerCase}_${action}_${patient.toLowerCase}"
+              .replace(" ", "_")
+            EventRow(docId, pos, pid, id, agent, action, patient,
+              year, era, 0.6)
+          }
+        }
+      }
+  }
+
+  /** E9 temporal-ordering inference: per doc, order dated events by
+    * (era order, year, pos); adjacent pairs -> BEFORE relations —
+    * different eras 0.95, same era different years 0.9, ties skipped
+    * (lore/events.py:433-500). Window is partitioned by doc so no global
+    * single-partition sort exists at scale.
+    */
+  def inferOrdering(events: DataFrame): DataFrame = {
+    val eraOrderCol = Events.EraOrder.foldLeft(lit(-1)) {
+      case (acc, (k, v)) => when(col("era") === k, v).otherwise(acc)
+    }
+    val dated = events
+      .filter(col("year").isNotNull && col("era").isNotNull)
+      .withColumn("era_order", eraOrderCol)
+    val w = Window.partitionBy("doc_id").orderBy("era_order", "year", "pos")
+    dated
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_year", lag(col("year"), 1).over(w))
+      .withColumn("prev_era", lag(col("era_order"), 1).over(w))
+      .filter(col("prev_id").isNotNull)
+      .withColumn("relation", lit("BEFORE"))
+      .withColumn("confidence",
+        when(col("prev_era") =!= col("era_order"), 0.95)
+          .when(col("prev_year") =!= col("year"), 0.9))
+      .filter(col("confidence").isNotNull)
+      .select(
+        col("doc_id"),
+        col("prev_id").as("event1_id"),
+        col("event_id").as("event2_id"),
+        col("relation"), col("confidence"))
+  }
+}

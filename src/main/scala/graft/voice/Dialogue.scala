@@ -1,0 +1,137 @@
+package graft.voice
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.Lexicon
+
+/** One extracted dialogue line.
+  * Reference: DialogueLine (voice/dialogue.py:79-99). */
+final case class DialogueRow(
+    doc_id: String,
+    pos: Int,
+    passage_id: String,
+    quote: String,
+    position: Int,
+    speaker: Option[String],
+    speech_verb: Option[String],
+    attribution_confidence: Double,
+    is_question: Boolean,
+    is_exclamation: Boolean,
+    is_statement: Boolean,
+    quote_chars: Int,
+    text_chars: Int)
+
+/** Dialogue extraction + 4-tier speaker attribution, ported from
+  * voice/dialogue.py:124-316. Straight + curly double quotes (the
+  * reference compiles more patterns but only uses the first two,
+  * dialogue.py:162). Runs as a narrow mapPartitions stage.
+  */
+object Dialogue {
+
+  private val QuotePatterns: Seq[Pattern] = Seq(
+    Pattern.compile("\"([^\"]+)\""),
+    Pattern.compile("“([^”]+)”"))
+
+  private val verbAlt: String = Lexicon.SpeechVerbs.mkString("|")
+
+  // Tier 1: "..." said NAME       (conf 0.9, dialogue.py:239-249)
+  private val AfterPat = Pattern.compile(
+    s"""^[,.]?\\s*($verbAlt)\\s+([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)?)""",
+    Pattern.CASE_INSENSITIVE)
+  // Tier 2: NAME said, "..."      (conf 0.9, dialogue.py:252-262)
+  private val BeforePat = Pattern.compile(
+    s"""([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)?)\\s+($verbAlt)[,.]?\\s*$$""",
+    Pattern.CASE_INSENSITIVE)
+  // Tier 3: verb NAME anywhere after (conf 0.7, dialogue.py:265-273)
+  private val AfterVerbPat = Pattern.compile(
+    s"""($verbAlt)\\s+([A-Z][a-z]+)""", Pattern.CASE_INSENSITIVE)
+  // Tier 4: any capitalized non-stopword name (conf 0.4 after / 0.3 before)
+  private val NamePat = Pattern.compile("""\b([A-Z][a-z]+)\b""")
+
+  /** (speaker, speech_verb, confidence) — the attribution cascade. */
+  private[voice] def attributeSpeaker(
+      contextBefore: String,
+      contextAfter: String): (Option[String], Option[String], Double) = {
+    val m1 = AfterPat.matcher(contextAfter)
+    if (m1.find())
+      return (Some(m1.group(2)), Some(m1.group(1).toLowerCase), 0.9)
+    val m2 = BeforePat.matcher(contextBefore)
+    if (m2.find())
+      return (Some(m2.group(1)), Some(m2.group(2).toLowerCase), 0.9)
+    val m3 = AfterVerbPat.matcher(contextAfter)
+    if (m3.find())
+      return (Some(m3.group(2)), Some(m3.group(1).toLowerCase), 0.7)
+
+    def names(s: String): Seq[String] = {
+      val m = NamePat.matcher(s)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) b += m.group(1)
+      b.toSeq.filter(n =>
+        !Lexicon.NonNames.contains(n.toLowerCase) && n.length > 1)
+    }
+    val after = names(contextAfter.take(30))
+    if (after.nonEmpty) return (Some(after.head), None, 0.4)
+    val before = names(contextBefore.takeRight(30))
+    if (before.nonEmpty) return (Some(before.last), None, 0.3)
+    (None, None, 0.0)
+  }
+
+  /** Pure per-passage extraction (dialogue.py:124-218). */
+  private[voice] def extract(text: String)
+      : Seq[(String, Int, Option[String], Option[String], Double, Boolean, Boolean)] = {
+    val quotes = QuotePatterns.flatMap { p =>
+      val m = p.matcher(text)
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      while (m.find()) {
+        val q = m.group(1).trim
+        if (q.length > 1) b += ((q, m.start, m.end))
+      }
+      b
+    }.sortBy(_._2)
+
+    quotes.zipWithIndex.map { case ((q, start, end), i) =>
+      val contextBefore = text.substring(math.max(0, start - 100), start).trim
+      val contextAfter =
+        text.substring(end, math.min(text.length, end + 100)).trim
+      val (speaker, verb, conf) = attributeSpeaker(contextBefore, contextAfter)
+      val isQ = q.stripTrailing().endsWith("?")
+      val isE = q.stripTrailing().endsWith("!")
+      (q, i, speaker, verb, conf, isQ, isE)
+    }
+  }
+
+  /** Spark stage: textual passages -> Dataset[DialogueRow]. */
+  def fromPassages(spark: SparkSession, passages: DataFrame): Dataset[DialogueRow] = {
+    import spark.implicits._
+    passages.select("doc_id", "pos", "passage_id", "text")
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, pos, pid, text) =>
+          extract(text).map { case (q, i, sp, v, conf, isQ, isE) =>
+            DialogueRow(docId, pos, pid, q, i, sp, v, conf,
+              isQ, isE, !isQ && !isE, q.length, text.length)
+          }
+        }
+      }
+  }
+
+  /** Per-speaker voice profile aggregates (V5, voice/profile.py:65-208 —
+    * the SQL-expressible scalar core; min 3 lines per profile, V9
+    * analyzer.py:141).
+    */
+  def voiceProfiles(spark: SparkSession, dialogue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    dialogue
+      .filter(col("speaker").isNotNull)
+      .withColumn("words", size(split(trim(col("quote")), "\\s+")))
+      .groupBy(col("speaker"))
+      .agg(
+        count(lit(1)).as("total_lines"),
+        sum(when(col("is_question"), 1L).otherwise(0L)).as("questions"),
+        sum(when(col("is_exclamation"), 1L).otherwise(0L)).as("exclamations"),
+        sum(when(col("is_statement"), 1L).otherwise(0L)).as("statements"),
+        round(avg(col("words")), 4).as("avg_words"),
+        sum(col("words").cast("long")).as("total_words"))
+      .filter(col("total_lines") >= 3)
+  }
+}
