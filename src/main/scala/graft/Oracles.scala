@@ -84,6 +84,59 @@ object Oracles {
   /** Wrap a SELECT over `syn` into a full oracle statement. */
   def overSyn(select: String): String = s"WITH $synCte\n$select"
 
+  /** Language-ID oracle: mirrors TextAnalysis.langId (same markers, same
+    * earliest-wins argmax, same CJK short-circuit).
+    */
+  val langIdSql: String = {
+    val scores = graft.text.TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      val s = ws.map(w =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"($s) AS score_$lang"
+    }.mkString(",\n         ")
+    val langs = graft.text.TextAnalysis.LangMarkers.map(_._1)
+    val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val argmax = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |         $scores
+       |  FROM documents
+       |), best AS (
+       |  SELECT doc_id, text, $m AS m, * FROM scored
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+       |       WHEN m <= 0 THEN 'und' $argmax END AS predicted_lang,
+       |  m AS lang_score
+       |FROM best""".stripMargin
+  }
+
+  /** Quality oracle mirroring TextAnalysis.quality. */
+  val qualitySql: String = {
+    val stopHits = graft.text.TextAnalysis.Stopwords.map(w =>
+      s"(len(regexp_split_to_array(lower(text), '\\b$w\\b')) - 1)")
+      .mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+       |    length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS punct,
+       |    length(text) AS chars,
+       |    ($stopHits) AS stop_hits
+       |  FROM documents
+       |)
+       |SELECT doc_id, words,
+       |  alpha::DOUBLE / greatest(words, 1) AS avg_word_len,
+       |  punct::DOUBLE / greatest(chars, 1) AS punct_ratio,
+       |  stop_hits::DOUBLE / greatest(words, 1) AS stopword_ratio,
+       |  ((400 * least(words, 100)
+       |    + (30000 - least((punct * 300000) // greatest(chars, 1), 30000))
+       |    + least((stop_hits * 150000) // greatest(words, 1), 30000)
+       |   )::DOUBLE / 100000.0) AS quality_score
+       |FROM q""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Expression fragments over syn's selector columns (s, o, v, p, m, y)
   // for the arithmetic oracles of the extraction stages.
@@ -109,7 +162,7 @@ object Oracles {
   val eTypo: String = s"substring($eSubj, 1, length($eSubj) - 1)"
   /** rapidfuzz indel ratio of typo vs full name: 2*(n-1)/(2n-1). */
   val eTypoRatio: String =
-    s"round(2.0 * (length($eSubj) - 1) / (2 * length($eSubj) - 1), 4)"
+    s"(2.0 * (length($eSubj) - 1) / (2 * length($eSubj) - 1))"
 
   /** All planted mention rows with their expected linking outcome.
     * Columns: doc_id, pos, text, start, label, source, confidence,

@@ -33,7 +33,7 @@ object SparkEntry {
       Pipeline.linked(s, dir)
         .select(col("doc_id"), col("pos"), col("text"), col("canonical_id"),
           col("entity_type"),
-          round(col("link_confidence"), 4).as("link_confidence"),
+          col("link_confidence"),
           col("is_new"))),
     "q05_entity_mentions" -> ((s, dir) =>
       Pipeline.linked(s, dir)
@@ -78,8 +78,8 @@ object SparkEntry {
         .select(col("doc_id"), col("sentences"), col("words"),
           coalesce(col("quotes"), lit(0L)).as("quotes"),
           coalesce(col("question_quotes"), lit(0L)).as("question_quotes"),
-          round(coalesce(col("qchars"), lit(0L)).cast("double")
-            / col("chars"), 4).as("dialogue_ratio"))
+          (coalesce(col("qchars"), lit(0L)).cast("double")
+            / col("chars")).as("dialogue_ratio"))
     }),
     "q14_readability" -> ((s, dir) =>
       graft.style.Metrics.readability(
@@ -92,8 +92,45 @@ object SparkEntry {
           "year", "era", "confidence")),
     "q16_event_order" -> ((s, dir) =>
       graft.lore.Events.inferOrdering(
-        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF()))
+        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+    "q17_media_meta" -> ((s, dir) =>
+      graft.media.Media.metadata(s, Pipeline.passages(s, dir))
+        .select("doc_id", "pos", "media_ref", "width", "height", "format")),
+    "q18_dedup_exact" -> ((s, dir) =>
+      graft.text.Dedup.exactGroups(Pipeline.textual(s, dir), col("text"))),
+    "q19_dedup_ngram" -> ((s, dir) =>
+      graft.text.Dedup.consecutiveJaccard(docsTable(s, dir), "doc_id", "text")),
+    "q20_langid" -> ((s, dir) =>
+      graft.text.TextAnalysis.langId(docsTable(s, dir), col("text"))
+        .select("doc_id", "predicted_lang", "lang_score")),
+    "q21_quality" -> ((s, dir) =>
+      graft.text.TextAnalysis.quality(docsTable(s, dir), col("text"))
+        .select("doc_id", "words", "avg_word_len", "punct_ratio",
+          "stopword_ratio", "quality_score")),
+    "q22_tokens" -> ((s, dir) =>
+      graft.text.TextAnalysis.tokenCounts(docsTable(s, dir), col("text"))
+        .select("doc_id", "ws_tokens", "regex_tokens")),
+    "q23_fingerprint" -> ((s, dir) =>
+      graft.text.TextAnalysis.fingerprint(
+        docsTable(s, dir), col("doc_id"), col("text"))),
+    "q24_ann_topk" -> ((s, dir) =>
+      graft.ml.Similarity.bruteForceTopK(embTable(s, dir))),
+    "q25_embedding_neardup" -> ((s, dir) =>
+      graft.ml.Similarity.nearDupPairs(embTable(s, dir), 0.4)),
+    "q26_minhash_dups" -> ((s, dir) =>
+      graft.text.Dedup.minhashNearDups(s, docsTable(s, dir), "doc_id", "text")),
+    "q27_simhash_dups" -> ((s, dir) =>
+      graft.text.Dedup.simhashNearDups(s, docsTable(s, dir), "doc_id", "text",
+        maxHamming = 6)),
+    "q28_ann_lsh" -> ((s, dir) =>
+      graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64))
   )
+
+  private def docsTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = {
     val withEntities = (sel: String) =>
@@ -117,7 +154,7 @@ object SparkEntry {
           |FROM entity_rows""".stripMargin),
       "q04_linked" -> withEntities(
         """SELECT doc_id, pos, text, canonical_id, entity_type,
-          |       round(link_confidence, 4) AS link_confidence, is_new
+          |       link_confidence, is_new
           |FROM entity_rows""".stripMargin),
       "q05_entity_mentions" -> withEntities(
         """SELECT canonical_id, entity_type, count(*) AS mention_count
@@ -158,7 +195,7 @@ object SparkEntry {
           |       sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS questions,
           |       sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS exclamations,
           |       sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS statements,
-          |       round(avg(len(regexp_split_to_array(trim(quote), '\s+'))), 4) AS avg_words,
+          |       avg(len(regexp_split_to_array(trim(quote), '\s+'))) AS avg_words,
           |       sum(len(regexp_split_to_array(trim(quote), '\s+'))) AS total_words
           |FROM dlg GROUP BY 1 HAVING count(*) >= 3""".stripMargin),
       "q13_style_doc" -> withDialogue(
@@ -167,7 +204,7 @@ object SparkEntry {
           |       sum(len(regexp_split_to_array(trim(s.text), '\s+'))) AS words,
           |       coalesce(any_value(d.quotes), 0) AS quotes,
           |       coalesce(any_value(d.question_quotes), 0) AS question_quotes,
-          |       round(coalesce(any_value(d.qchars), 0)::DOUBLE / sum(length(s.text)), 4)
+          |       (coalesce(any_value(d.qchars), 0)::DOUBLE / sum(length(s.text)))
           |         AS dialogue_ratio
           |FROM syn s
           |LEFT JOIN (SELECT doc_id, count(*) AS quotes,
@@ -188,7 +225,61 @@ object SparkEntry {
           |       CAST(0.9 AS DOUBLE) AS confidence
           |FROM event_rows WHERE year IS NOT NULL
           |WINDOW w AS (PARTITION BY doc_id ORDER BY year, pos)
-          |QUALIFY lag(event_id) OVER w IS NOT NULL AND lag(year) OVER w <> year""".stripMargin)
+          |QUALIFY lag(event_id) OVER w IS NOT NULL AND lag(year) OVER w <> year""".stripMargin),
+      "q17_media_meta" -> Oracles.overSyn(
+        """SELECT doc_id, pos, media_ref,
+          |       CAST(64 + (length(media_ref) % 8) * 16 AS INT) AS width,
+          |       CAST(48 + (length(media_ref) % 5) * 32 AS INT) AS height,
+          |       'png' AS format
+          |FROM syn WHERE kind = 'media'""".stripMargin),
+      "q18_dedup_exact" -> Oracles.overSyn(
+        """SELECT md5(text) AS text_hash, count(*) AS cnt
+          |FROM syn WHERE kind <> 'media'
+          |GROUP BY 1 HAVING count(*) > 1""".stripMargin),
+      "q19_dedup_ngram" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |s AS (SELECT doc_id,
+          |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          |             ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          |                                 for i in range(1, len(ws) - 1)]) END AS sh
+          |      FROM t)
+          |SELECT a.doc_id, b.doc_id AS next_doc_id,
+          |       len(list_intersect(a.sh, b.sh))::DOUBLE
+          |           / len(list_distinct(a.sh || b.sh)) AS jaccard
+          |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      "q20_langid" -> Oracles.langIdSql,
+      "q21_quality" -> Oracles.qualitySql,
+      "q22_tokens" ->
+        """SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+          |FROM documents""".stripMargin,
+      "q23_fingerprint" ->
+        """SELECT doc_id,
+          |       sum(i * (('0x' || substring(md5(w), 1, 8))::BIGINT)) AS fingerprint
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+          |             generate_subscripts(string_split(text, ' '), 1) AS i
+          |      FROM documents)
+          |GROUP BY 1""".stripMargin,
+      "q24_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          |           FROM embeddings WHERE vec_id < 20),
+          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+          |      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM s) WHERE rank <= 5""".stripMargin,
+      "q25_embedding_neardup" ->
+        """SELECT * FROM (
+          |  SELECT a.vec_id AS a, b.vec_id AS b,
+          |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |) WHERE cos >= 0.4""".stripMargin
     )
   }
 }

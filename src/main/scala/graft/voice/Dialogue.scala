@@ -130,7 +130,7 @@ object Dialogue {
         sum(when(col("is_question"), 1L).otherwise(0L)).as("questions"),
         sum(when(col("is_exclamation"), 1L).otherwise(0L)).as("exclamations"),
         sum(when(col("is_statement"), 1L).otherwise(0L)).as("statements"),
-        round(avg(col("words")), 4).as("avg_words"),
+        avg(col("words")).as("avg_words"),
         sum(col("words").cast("long")).as("total_words"))
       .filter(col("total_lines") >= 3)
   }
