@@ -25,12 +25,16 @@ object Lexicon {
     "Peregrin", "Elrond", "Galadriel", "Saruman", "Gollum",
     "Bard", "Beorn", "Smaug", "Radagast", "Balin")
 
-  /** One alias per character (parallel to [[Chars]]); also single tokens. */
+  /** One alias per character (parallel to [[Chars]]); single tokens chosen
+    * to avoid (a) fuzzy collisions at the 0.85/0.90 thresholds and (b)
+    * world-bible keyword-prefix hits (e.g. "Bowman" would match \bbow) —
+    * both guarded by unit tests + the driver oracle compare.
+    */
   val CharAliases: IndexedSeq[String] = Vector(
     "Mithrandir", "Burglar", "Oakenshield", "Underhill", "Strider",
     "Greenleaf", "Lockbearer", "Highwarden", "Gardener", "Brandybuck",
-    "Took", "Halfelven", "Lightqueen", "Whitehand", "Stinker",
-    "Bowman", "Skinchanger", "Golddrake", "Brownrobe", "Ironfoot")
+    "Took", "Halfelven", "Fairqueen", "Whitehand", "Stinker",
+    "Marksman", "Skinchanger", "Firedrake", "Brownrobe", "Stonefoot")
 
   /** 12 place names; canonical id = lowercase. */
   val Places: IndexedSeq[String] = Vector(

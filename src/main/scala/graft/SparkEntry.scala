@@ -123,8 +123,39 @@ object SparkEntry {
       graft.text.Dedup.simhashNearDups(s, docsTable(s, dir), "doc_id", "text",
         maxHamming = 6)),
     "q28_ann_lsh" -> ((s, dir) =>
-      graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64))
+      graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64)),
+    "q30_worldbible_cat" -> ((s, dir) =>
+      graft.worldbible.WorldBible.categories(s, Pipeline.textual(s, dir))),
+    "q31_worldbible_rules" -> ((s, dir) =>
+      graft.worldbible.WorldBible.worldRules(s, Pipeline.textual(s, dir))),
+    "q32_lore_checks" -> ((s, dir) =>
+      graft.lore.Checker.checkRelationships(s,
+        loreClaims.map(graft.lore.Checker.parse), Pipeline.edges(s, dir))),
+    // raw-text splitter round trip: re-splitting the reconstructed doc
+    // (paragraph-joined spans) must reproduce the span texts exactly
+    "q29_split_roundtrip" -> ((s, dir) => {
+      val txt = Pipeline.docs(s, dir).select(col("doc_id"),
+        array_join(expr(
+          "transform(filter(spans, x -> x.text <> ''), x -> x.text)"),
+          "\n\n").as("t"))
+      graft.ingest.Splitter.split(s, txt, "doc_id", "t")
+        .select("doc_id", "passage_id", "text", "chapter_num",
+          "paragraph_num", "sentence_num")
+    })
   )
+
+  /** Fixed lore-check claim battery (q32): parsed by Checker.parse and
+    * checked against the edge table; the oracle re-derives the expected
+    * verdicts from the same parse results over triple_rows.
+    */
+  val loreClaims: Seq[String] = Seq(
+    "Gandalf spoke with Bilbo",
+    "Bilbo traveled to Rivendell",
+    "Thorin killed Smaug",
+    "Gandalf never met Saruman",
+    "Frodo visited Bree",
+    "Boromir fought Gollum",
+    "Zorro spoke with Gandalf")
 
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -273,6 +304,54 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY query_id
           |                            ORDER BY cos DESC, neighbor_id) AS rank
           |  FROM s) WHERE rank <= 5""".stripMargin,
+      "q30_worldbible_cat" -> Oracles.overSyn(
+        """SELECT doc_id, pos, 'geography' AS category,
+          |       CAST(0.2 AS DOUBLE) AS score
+          |FROM syn WHERE (m <= 10 OR m = 14) AND v = 1
+          |UNION ALL
+          |SELECT doc_id, pos, 'creatures', CAST(0.2 AS DOUBLE)
+          |FROM syn WHERE (m <= 10 OR m = 14) AND v = 7
+          |UNION ALL
+          |SELECT doc_id, pos, 'themes', CAST(0.5 AS DOUBLE)
+          |FROM syn WHERE m = 11 OR m = 13
+          |UNION ALL
+          |SELECT doc_id, pos, 'history',
+          |       CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+          |FROM syn WHERE m = 17""".stripMargin),
+      "q31_worldbible_rules" -> Oracles.overSyn(
+        s"""SELECT doc_id, pos, 'capability' AS pattern_name,
+           |       'We must ride to ' || ${Oracles.ePlace} || ' at dawn' AS rule_text,
+           |       'themes' AS category
+           |FROM syn WHERE m = 11
+           |UNION ALL
+           |SELECT doc_id, pos, 'definition',
+           |       'All is well in ' || ${Oracles.ePlace}, 'themes'
+           |FROM syn WHERE m = 13""".stripMargin),
+      "q32_lore_checks" -> withTriples(loreClaims.map { text =>
+        val c = graft.lore.Checker.parse(text)
+        val et = graft.lore.Checker.PredicateToEdgeType.getOrElse(
+          c.predicate.get.toLowerCase,
+          c.predicate.get.toUpperCase.replace(" ", "_"))
+        val subj = c.subject.get.toLowerCase.replace("'", "''")
+        val obj = c.obj.get.toLowerCase.replace("'", "''")
+        val verdict = if (c.negated) "INVALID" else "VALID"
+        s"""  SELECT '${text.replace("'", "''")}' AS claim,
+           |    CASE WHEN ev > 0 THEN '$verdict' ELSE 'UNSUPPORTED' END AS status,
+           |    ev AS evidence
+           |  FROM (SELECT count(*) AS ev FROM triple_rows
+           |        WHERE predicate = '$et'
+           |          AND subject_id LIKE '%$subj%'
+           |          AND object_id LIKE '%$obj%')""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+      "q29_split_roundtrip" -> Oracles.overSyn(
+        """SELECT doc_id,
+          |       'p_' || doc_id || '_c1_p' || k || '_s1' AS passage_id,
+          |       text,
+          |       1 AS chapter_num, CAST(k AS INT) AS paragraph_num,
+          |       1 AS sentence_num
+          |FROM (SELECT doc_id, text,
+          |             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+          |      FROM syn WHERE text <> '')""".stripMargin),
       "q25_embedding_neardup" ->
         """SELECT * FROM (
           |  SELECT a.vec_id AS a, b.vec_id AS b,
