@@ -270,6 +270,36 @@ object Oracles {
        |  ) GROUP BY node
        |)""".stripMargin
 
+  /** Cross-book variant of [[clusterCte]]: fuzzy threshold 0.85 (X3), so
+    * EVERY typo merges — ratio 2(n-1)/(2n-1) >= 0.85 for all n >= 4, and
+    * all planted names have n >= 4.
+    */
+  val clusterCte85: String =
+    s"""nodes AS (SELECT DISTINCT lower(text) AS node FROM entity_rows),
+       |e0 AS (
+       |  SELECT lower($eSubj) AS src, lower($eAlias) AS dst
+       |  FROM syn WHERE m BETWEEN 15 AND 16
+       |  UNION
+       |  SELECT lower($eTypo) AS src, lower($eSubj) AS dst
+       |  FROM syn WHERE m = 14
+       |    AND lower($eSubj) IN (SELECT node FROM nodes)
+       |),
+       |sym AS (SELECT src AS a, dst AS b FROM e0
+       |        UNION SELECT dst AS a, src AS b FROM e0),
+       |l1 AS (
+       |  SELECT node, min(x) AS c FROM (
+       |    SELECT node, node AS x FROM nodes
+       |    UNION ALL SELECT a AS node, b AS x FROM sym
+       |  ) GROUP BY node
+       |),
+       |l2 AS (
+       |  SELECT node, min(x) AS cluster FROM (
+       |    SELECT node, c AS x FROM l1
+       |    UNION ALL
+       |    SELECT s.a AS node, l.c AS x FROM sym s JOIN l1 l ON l.node = s.b
+       |  ) GROUP BY node
+       |)""".stripMargin
+
   /** Expected dialogue lines (V1/V3 outcome on the planted templates). */
   val dialogueCte: String =
     s"""dlg AS (

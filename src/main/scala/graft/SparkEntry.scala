@@ -124,6 +124,39 @@ object SparkEntry {
         maxHamming = 6)),
     "q28_ann_lsh" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64)),
+    "q33_distinctive_words" -> ((s, dir) =>
+      graft.voice.Profiles.distinctiveWords(
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+    "q34_classifier" -> ((s, dir) =>
+      graft.style.Classifier.classifyPassages(s, Pipeline.textual(s, dir))),
+    "q35_signature_phrases" -> ((s, dir) =>
+      graft.voice.Profiles.signaturePhrases(
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+    "q36_burrows_delta" -> ((s, dir) => {
+      val sents = Pipeline.textual(s, dir)
+        .withColumn("corpus",
+          pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L)))
+      graft.style.Fingerprint.burrowsDelta(
+        graft.style.Fingerprint.functionWordZScores(sents, "corpus", "text"))
+    }),
+    "q37_crossbook" -> ((s, dir) =>
+      graft.corpus.CrossBook.resolveAll(s,
+        Pipeline.textual(s, dir), Pipeline.mentions(s, dir),
+        pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)))._1),
+    "q38_top_entities" -> ((s, dir) => {
+      val mentions = Pipeline.mentions(s, dir)
+      val (assignment, _) = graft.extract.Canonicalize.clusters(
+        s, Pipeline.textual(s, dir), mentions)
+      graft.extract.Canonicalize.registry(s, mentions, assignment)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("mention_count").desc, col("cluster").asc)))
+        .filter(col("rank") <= 10)
+        .select("rank", "cluster", "mention_count")
+    }),
+    "q39_sample_quotes" -> ((s, dir) =>
+      graft.voice.Profiles.sampleQuotes(
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
     "q30_worldbible_cat" -> ((s, dir) =>
       graft.worldbible.WorldBible.categories(s, Pipeline.textual(s, dir))),
     "q31_worldbible_rules" -> ((s, dir) =>
@@ -173,6 +206,9 @@ object SparkEntry {
         s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte}\n$sel")
     val withDialogue = (sel: String) =>
       Oracles.overSyn(s", ${Oracles.dialogueCte}\n$sel")
+    val withClusters85 = (sel: String) =>
+      Oracles.overSyn(
+        s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte85}\n$sel")
     val withEvents = (sel: String) =>
       Oracles.overSyn(s", ${Oracles.eventRowsCte}\n$sel")
     Map(
@@ -304,6 +340,58 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY query_id
           |                            ORDER BY cos DESC, neighbor_id) AS rank
           |  FROM s) WHERE rank <= 5""".stripMargin,
+      "q33_distinctive_words" -> withDialogue(
+        """, words AS (
+          |  SELECT speaker, unnest(regexp_split_to_array(lower(quote), '\s+')) AS word
+          |  FROM dlg
+          |), counts AS (
+          |  SELECT speaker, word, count(*) AS cnt FROM words
+          |  WHERE length(word) > 0 GROUP BY 1, 2
+          |), totals AS (SELECT speaker, sum(cnt) AS char_total FROM counts GROUP BY 1),
+          |ns AS (SELECT count(DISTINCT speaker) AS n FROM counts),
+          |dfreq AS (SELECT word, count(*) AS speakers_using FROM counts GROUP BY 1)
+          |SELECT speaker, rank, word FROM (
+          |  SELECT c.speaker, c.word,
+          |    row_number() OVER (PARTITION BY c.speaker ORDER BY
+          |      ((c.cnt::DOUBLE / t.char_total)
+          |       / (1.0 + (d.speakers_using - 1)::DOUBLE / ns.n)) DESC,
+          |      c.word ASC) AS rank
+          |  FROM counts c JOIN totals t USING (speaker)
+          |       JOIN dfreq d USING (word), ns
+          |  WHERE c.cnt >= 2
+          |) WHERE rank <= 10""".stripMargin),
+      "q37_crossbook" -> withClusters85(
+        """SELECT l2.cluster AS entity,
+          |       count(DISTINCT (CAST(substring(er.doc_id, 5) AS BIGINT) % 4))
+          |         AS books_appeared,
+          |       count(*) AS total_mentions,
+          |       count(DISTINCT l2.node) AS member_count
+          |FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
+          |GROUP BY 1""".stripMargin),
+      "q38_top_entities" -> withClusters(
+        """SELECT rank, cluster, mention_count FROM (
+          |  SELECT cluster, mention_count,
+          |         row_number() OVER (ORDER BY mention_count DESC, cluster ASC) AS rank
+          |  FROM (
+          |    SELECT l2.cluster, count(*) AS mention_count
+          |    FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
+          |    GROUP BY 1)
+          |) WHERE rank <= 10""".stripMargin),
+      "q39_sample_quotes" -> withDialogue(
+        """SELECT speaker, qtype, quote FROM (
+          |  SELECT speaker, qtype, quote,
+          |         row_number() OVER (PARTITION BY speaker, qtype
+          |                            ORDER BY quality DESC, quote ASC) AS rn
+          |  FROM (SELECT speaker,
+          |          CASE WHEN is_question THEN 'question'
+          |               WHEN is_exclamation THEN 'exclamation'
+          |               ELSE 'statement' END AS qtype,
+          |          quote,
+          |          CASE WHEN len(regexp_split_to_array(trim(quote), '\s+')) BETWEEN 5 AND 20 THEN 1.0
+          |               WHEN len(regexp_split_to_array(trim(quote), '\s+')) BETWEEN 3 AND 30 THEN 0.5
+          |               ELSE 0.1 END AS quality
+          |        FROM dlg)
+          |) WHERE rn = 1""".stripMargin),
       "q30_worldbible_cat" -> Oracles.overSyn(
         """SELECT doc_id, pos, 'geography' AS category,
           |       CAST(0.2 AS DOUBLE) AS score

@@ -1,0 +1,101 @@
+package graft.voice
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Voice-profile analytics beyond the scalar aggregates: distinctive
+  * words (V6), signature phrases (V8), sample quotes (V7).
+  * Reference: voice/profile.py:280-394.
+  */
+object Profiles {
+
+  /** V6 distinctive words: TF / (1 + other-speaker-usage / n_speakers),
+    * min count 2, top N per speaker (profile.py:280-316). One shuffle to
+    * (speaker, word) counts; the per-word speaker document frequency is a
+    * second small aggregate; ranking is a window.
+    */
+  def distinctiveWords(dialogue: DataFrame, topN: Int = 10): DataFrame = {
+    val words = dialogue
+      .filter(col("speaker").isNotNull)
+      .select(col("speaker"),
+        explode(split(lower(col("quote")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy("speaker", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val charTotals = counts.groupBy("speaker")
+      .agg(sum(col("cnt")).as("char_total"))
+    val totalSpeakers = counts.select("speaker").distinct().count()
+    val df = counts.groupBy("word")
+      .agg(count(lit(1)).as("speakers_using"))
+
+    counts
+      .filter(col("cnt") >= 2)
+      .join(charTotals, Seq("speaker"))
+      .join(df, Seq("word"))
+      .withColumn("other_usage", col("speakers_using") - 1)
+      .withColumn("score",
+        (col("cnt").cast("double") / col("char_total")) /
+          (lit(1.0) + col("other_usage").cast("double") / totalSpeakers.toDouble))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("speaker")
+          .orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rank") <= topN)
+      .select("speaker", "rank", "word")
+  }
+
+  /** V8 signature phrases: 2-/3-gram counts >= minOccurrences, minus the
+    * reference's 11 common phrases, top 5 by (count desc, phrase asc)
+    * (profile.py:363-394).
+    */
+  val CommonPhrases: Seq[String] = Seq(
+    "i am", "you are", "it is", "do not", "i do", "i have",
+    "you have", "there is", "there are", "what is", "that is")
+
+  def signaturePhrases(dialogue: DataFrame, minOccurrences: Int = 2): DataFrame = {
+    val words = split(lower(col("quote")), "\\s+")
+    val grams2 = transform(sequence(lit(0), greatest(size(words) - 2, lit(-1))),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
+    val grams3 = transform(sequence(lit(0), greatest(size(words) - 3, lit(-1))),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+        element_at(words, i + 3)))
+    dialogue
+      .filter(col("speaker").isNotNull)
+      .select(col("speaker"),
+        explode(concat(
+          when(size(words) >= 2, grams2).otherwise(array()),
+          when(size(words) >= 3, grams3).otherwise(array()))).as("phrase"))
+      .filter(!col("phrase").isin(CommonPhrases: _*))
+      .groupBy("speaker", "phrase")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("speaker")
+          .orderBy(col("cnt").desc, col("phrase").asc)))
+      .filter(col("rank") <= 5)
+      .select("speaker", "rank", "phrase", "cnt")
+  }
+
+  /** V7 sample quotes: best question + best exclamation + statements,
+    * quality = word-length band (5-20 -> 1.0, 3-30 -> 0.5, else 0.1)
+    * (profile.py:319-360). Deterministic tiebreak by quote text.
+    */
+  def sampleQuotes(dialogue: DataFrame): DataFrame = {
+    val wordsN = size(split(trim(col("quote")), "\\s+"))
+    val quality = when(wordsN.between(5, 20), 1.0)
+      .when(wordsN.between(3, 30), 0.5)
+      .otherwise(0.1)
+    val typed = dialogue
+      .filter(col("speaker").isNotNull)
+      .withColumn("qtype",
+        when(col("is_question"), "question")
+          .when(col("is_exclamation"), "exclamation")
+          .otherwise("statement"))
+      .withColumn("quality", quality)
+    typed.withColumn("rank", row_number().over(
+      Window.partitionBy("speaker", "qtype")
+        .orderBy(col("quality").desc, col("quote").asc)))
+      .filter(col("rank") === 1)
+      .select("speaker", "qtype", "quote")
+  }
+}

@@ -21,6 +21,21 @@ class CanonicalizeSpec extends SparkSpec {
     }
   }
 
+  test("oracle assumption (cross-book, 0.85): fuzzy edges are exactly typo(c)~c") {
+    val names = Lexicon.Chars.map(_.toLowerCase) ++
+      Lexicon.CharAliases.map(_.toLowerCase) ++
+      Lexicon.Places.map(_.toLowerCase) :+ "third age"
+    val typos = Lexicon.Chars.map(_.toLowerCase.dropRight(1))
+    val keys = (names ++ typos).distinct
+    for (a <- keys; b <- keys if a < b) {
+      val r = Linker.indelRatio(a, b)
+      val isTypoEdge = Lexicon.Chars.map(_.toLowerCase).exists(c =>
+        Set(a, b) == Set(c, c.dropRight(1)))
+      if (r >= 0.85) assert(isTypoEdge, s"unexpected 0.85 edge $a ~ $b ($r)")
+      if (isTypoEdge) assert(r >= 0.85, s"missing 0.85 edge $a ~ $b ($r)")
+    }
+  }
+
   test("oracle assumption: no containment merges among planted keys") {
     val keys = Lexicon.Chars.map(_.toLowerCase) ++
       Lexicon.CharAliases.map(_.toLowerCase) ++
