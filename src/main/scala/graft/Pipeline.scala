@@ -17,8 +17,15 @@ object Pipeline {
   def passages(spark: SparkSession, sfDir: String): DataFrame =
     Passages.fromDocs(docs(spark, sfDir))
 
+  /** Textual passages, explicitly spread across all cores: AQE coalesces
+    * the tiny upstream shuffles to 1-2 partitions by byte size, which
+    * would serialize every downstream CPU-heavy narrow stage (mention /
+    * triple / dialogue extraction). A numbered repartition pins full
+    * parallelism; the shuffled data is a few MB.
+    */
   def textual(spark: SparkSession, sfDir: String): DataFrame =
     Passages.textual(passages(spark, sfDir))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Detected + overlap-deduped mentions. */
   def mentions(spark: SparkSession, sfDir: String): DataFrame =
@@ -28,10 +35,12 @@ object Pipeline {
   def linked(spark: SparkSession, sfDir: String): DataFrame =
     Linker.link(spark, mentions(spark, sfDir))
 
-  /** Extracted SVO triples. */
+  /** Extracted SVO triples — fused single-stage hot path (detection +
+    * extraction + broadcast-index linking in one mapPartitions; no shuffle
+    * before the edge aggregate).
+    */
   def triples(spark: SparkSession, sfDir: String): DataFrame =
-    Triples.fromPassages(spark, textual(spark, sfDir), linked(spark, sfDir))
-      .toDF()
+    Triples.fromPassagesFused(spark, textual(spark, sfDir)).toDF()
 
   /** Edge table: fully-resolved triples aggregated per (src, dst, type) —
     * the reference's MERGE-with-aggregate semantics (graph/writer.py:135-222)
@@ -60,6 +69,22 @@ object Pipeline {
       .agg(
         count(lit(1)).as("mention_count"),
         min(coalesce(col("canonical_name"), col("text"))).as("canonical_name"))
+  }
+
+  /** Replicated triple pipeline for scaling measurements: the textual
+    * passages are replicated `rep` times (doc ids suffixed), producing
+    * rep x the extraction work with the same statistical shape — the
+    * sandbox stand-in for a larger corpus so the N-vs-4N throughput
+    * measurement is compute-bound rather than fixed-overhead-bound.
+    */
+  def triplesReplicated(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
+    val reps = spark.range(rep).select(col("id").as("rep__"))
+    val replicated = textual(spark, sfDir)
+      .crossJoin(broadcast(reps))
+      .withColumn("doc_id",
+        concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
+      .drop("rep__")
+    Triples.fromPassagesFused(spark, replicated).toDF()
   }
 
   /** Flagship: who spoke with whom, ranked (SURVEY.md §7.2, T10). */

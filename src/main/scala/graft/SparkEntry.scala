@@ -50,7 +50,7 @@ object SparkEntry {
       graft.extract.Canonicalize.clusters(
         s, Pipeline.textual(s, dir), Pipeline.mentions(s, dir))._1),
     "q10_cluster_registry" -> ((s, dir) => {
-      val mentions = Pipeline.mentions(s, dir)
+      val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
       val (assignment, _) = graft.extract.Canonicalize.clusters(
         s, Pipeline.textual(s, dir), mentions)
       graft.extract.Canonicalize.registry(s, mentions, assignment)
@@ -144,7 +144,7 @@ object SparkEntry {
         Pipeline.textual(s, dir), Pipeline.mentions(s, dir),
         pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)))._1),
     "q38_top_entities" -> ((s, dir) => {
-      val mentions = Pipeline.mentions(s, dir)
+      val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
       val (assignment, _) = graft.extract.Canonicalize.clusters(
         s, Pipeline.textual(s, dir), mentions)
       graft.extract.Canonicalize.registry(s, mentions, assignment)

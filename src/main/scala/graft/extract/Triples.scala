@@ -137,10 +137,51 @@ object Triples {
     out.values.toSeq
   }
 
-  /** Spark stage: textual passages + linked mentions -> Dataset[Triple].
-    * One co-partitioned shuffle (groupBy passage to collect the mention
-    * set) then a narrow mapPartitions; the >=2-mention gate (T7,
-    * relationships.py:417-418) prunes work before the extractor runs.
+  /** FUSED hot path: detection + SVO extraction + broadcast-index linking
+    * in ONE narrow mapPartitions over passages — zero shuffles before the
+    * edge aggregate. This is the 100 TB shape: scan -> narrow extract ->
+    * partial-agg. Linking semantics are identical to the join-cascade
+    * Linker (LocalLinker; asserted by LinkerSpec).
+    */
+  def fromPassagesFused(
+      spark: SparkSession,
+      passages: DataFrame,
+      seeds: Seq[graft.extract.SeedEntity] = Seeds.default): Dataset[Triple] = {
+    import spark.implicits._
+    val gaz = spark.sparkContext.broadcast(
+      Seeds.aliasRows(seeds).map(r => (r._1, r._3)))
+    val linker = spark.sparkContext.broadcast(new LocalLinker(seeds))
+    passages
+      .select("doc_id", "pos", "passage_id", "text")
+      .as[(String, Int, String, String)]
+      .mapPartitions { it =>
+        val g = gaz.value
+        val lk = linker.value
+        it.flatMap { case (docId, pos, pid, text) =>
+          val raw = Mentions.detect(text, g)
+          if (raw.size < 2) Iterator.empty // T7 gate
+          else {
+            val args = raw.map { r =>
+              val linked = lk.lookup(r.text)
+              Arg(r.text, r.start, r.end,
+                linked.map(_._1), linked.map(_._2))
+            }
+            extract(text, args).iterator.map {
+              case (st, pred, se, ot, oe, rawVerb) =>
+                Triple(docId, pos, pid,
+                  st, se.flatMap(_.id), se.flatMap(_.etype),
+                  pred, rawVerb,
+                  ot, oe.flatMap(_.id), oe.flatMap(_.etype),
+                  0.7, "svo")
+            }
+          }
+        }
+      }
+  }
+
+  /** Join-based variant (one co-partitioned shuffle to collect the
+    * per-passage mention set, then a narrow mapPartitions); kept for
+    * pipelines that already materialized linked mentions.
     */
   def fromPassages(
       spark: SparkSession,

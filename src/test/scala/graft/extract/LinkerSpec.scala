@@ -80,6 +80,29 @@ class LinkerSpec extends SparkSpec {
     assert(math.abs(Linker.indelRatio("abcd", "abxd") - 2.0 * 3 / 8) < 1e-12)
   }
 
+  test("LocalLinker agrees with the join-cascade Linker key-for-key") {
+    import spark.implicits._
+    val local = new LocalLinker(fixtureSeeds)
+    val keys = Seq("Gandalf", "Mithrandir", "the Shire", "the Mithrandir",
+      "Gandaf", "Tom Bombadil", "Gandalf's", "Bilbo", "Smeagol", "Bag End",
+      "Gollum", "gOlLum", "Mr. Baggins", "Shire")
+    val viaJoin = {
+      val m = keys.zipWithIndex.map { case (t, i) =>
+        ("d", 0, "p", t, i * 100, i * 100 + t.length, "PERSON", "heuristic", 0.7)
+      }.toDF("doc_id", "pos", "passage_id", "text", "start", "end",
+        "label", "source", "confidence")
+      Linker.link(spark, m, fixtureSeeds)
+        .select("text", "canonical_id", "link_confidence")
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    }
+    keys.foreach { k =>
+      val l = local.lookup(k)
+      assert(viaJoin(k)._1 == l.map(_._1), s"id mismatch for $k")
+      assert(viaJoin(k)._2 == l.map(_._4).getOrElse(0.0), s"conf mismatch for $k")
+    }
+  }
+
   test("synthetic lexicon is fuzzy-safe: unique best match for every typo") {
     val rows = Seeds.aliasRows(Seeds.default)
     graft.Lexicon.Chars.foreach { name =>
