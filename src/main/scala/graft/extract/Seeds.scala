@@ -60,4 +60,23 @@ object Seeds {
     import spark.implicits._
     aliasRows(seeds).toDF("akey", "canonical_id", "entity_type", "canonical_name")
   }
+
+  /** D10/S6: export a cluster registry back to the reference's seed-JSON
+    * shape, one file per entity type (extract/resolver.py:297-344,
+    * dynamic_resolver.py:418-443). Input rows:
+    * (cluster, canonical_name, entity_type, aliases).
+    */
+  def exportSeedJson(registry: DataFrame, outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    registry
+      .select(
+        col("entity_type"),
+        to_json(struct(
+          col("cluster").as("id"),
+          col("canonical_name"),
+          col("aliases"))).as("j"))
+      .write.mode("overwrite")
+      .partitionBy("entity_type")
+      .text(outDir)
+  }
 }

@@ -107,6 +107,62 @@ object Events {
       }
   }
 
+  /** E7 find_events (lore/events.py:119-162): fuzzy event filter —
+    * agent substring both ways, action stem-matched, patient
+    * article-stripped containment.
+    */
+  def findEvents(events: DataFrame, agent: Option[String] = None,
+      action: Option[String] = None, patient: Option[String] = None): DataFrame = {
+    var df = events
+    agent.foreach { a =>
+      val al = lit(a.toLowerCase)
+      df = df.filter(lower(col("agent")).contains(al) ||
+        al.contains(lower(col("agent"))))
+    }
+    action.foreach { v =>
+      val stem = lit(v.toLowerCase.stripSuffix("ed").stripSuffix("s"))
+      df = df.filter(lower(col("action")).contains(stem))
+    }
+    patient.foreach { p =>
+      val pl = lit(p.toLowerCase.replaceFirst("^(the|a|an) ", ""))
+      val pat = regexp_replace(lower(col("patient")), "^(the|a|an) ", "")
+      df = df.filter(pat.contains(pl) || pl.contains(pat))
+    }
+    df
+  }
+
+  /** E8/G15 get_ordering: direct relation lookup (both directions) else
+    * (era order, year) comparison — 'before' | 'after' | 'unknown'
+    * (lore/events.py:164-207).
+    */
+  def getOrdering(relations: DataFrame,
+      e1: org.apache.spark.sql.Row, e2: org.apache.spark.sql.Row): String = {
+    val (id1, id2) = (e1.getAs[String]("event_id"), e2.getAs[String]("event_id"))
+    val direct = relations
+      .filter((col("event1_id") === id1 && col("event2_id") === id2) ||
+        (col("event1_id") === id2 && col("event2_id") === id1))
+      .select("event1_id", "relation").collect().headOption
+    direct match {
+      case Some(r) =>
+        val rel = r.getString(1).toLowerCase
+        if (r.getString(0) == id1) rel
+        else if (rel == "before") "after" else if (rel == "after") "before" else rel
+      case None =>
+        val (y1, y2) = (Option(e1.getAs[Integer]("year")),
+          Option(e2.getAs[Integer]("year")))
+        val (era1, era2) = (
+          EraOrder.getOrElse(Option(e1.getAs[String]("era")).getOrElse(""), -1),
+          EraOrder.getOrElse(Option(e2.getAs[String]("era")).getOrElse(""), -1))
+        if (era1 >= 0 && era2 >= 0 && era1 != era2)
+          if (era1 < era2) "before" else "after"
+        else (y1, y2) match {
+          case (Some(a), Some(b)) if a != b =>
+            if (a < b) "before" else "after"
+          case _ => "unknown"
+        }
+    }
+  }
+
   /** E9 temporal-ordering inference: per doc, order dated events by
     * (era order, year, pos); adjacent pairs -> BEFORE relations —
     * different eras 0.95, same era different years 0.9, ties skipped

@@ -1,0 +1,37 @@
+package graft.extract
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeedsSpec extends SparkSpec {
+
+  test("S4: reference-format seed JSON loads into the registry") {
+    val dir = Files.createTempDirectory("seeds")
+    Files.writeString(dir.resolve("characters.json"),
+      """[{"id":"gandalf","canonical_name":"Gandalf",
+        |"aliases":["Mithrandir"],"race":"Maia"},
+        |{"id":"bilbo_baggins","canonical_name":"Bilbo Baggins",
+        |"aliases":["Bilbo"]}]""".stripMargin)
+    val seeds = Seeds.fromJson(spark,
+      dir.resolve("characters.json").toString, "character")
+    assert(seeds.map(_.id).toSet == Set("gandalf", "bilbo_baggins"))
+    assert(seeds.find(_.id == "gandalf").get.aliases == Seq("Mithrandir"))
+    val rows = Seeds.aliasRows(seeds)
+    assert(rows.contains(("mithrandir", "gandalf", "character", "Gandalf")))
+  }
+
+  test("D10/S6: registry exports back to seed-JSON shape") {
+    import spark.implicits._
+    val registry = Seq(
+      ("gandalf", "Gandalf", "character", Seq("Mithrandir")),
+      ("rivendell", "Rivendell", "place", Seq.empty[String]))
+      .toDF("cluster", "canonical_name", "entity_type", "aliases")
+    val out = Files.createTempDirectory("seedout").toString
+    Seeds.exportSeedJson(registry, out)
+    val back = spark.read.json(s"$out/entity_type=character")
+    val row = back.collect()(0)
+    assert(row.getAs[String]("id") == "gandalf")
+    assert(row.getSeq[String](row.fieldIndex("aliases")) == Seq("Mithrandir"))
+  }
+}

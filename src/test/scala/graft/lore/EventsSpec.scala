@@ -28,6 +28,38 @@ class EventsSpec extends SparkSpec {
     assert(Events.extractYear("no dates here") == ((None, None)))
   }
 
+  test("find_events fuzzy filter (E7)") {
+    import spark.implicits._
+    val events = Seq(
+      ("e1", "Gandalf the Grey", "killed", "the Balrog"),
+      ("e2", "Bilbo", "found", "Ring"),
+      ("e3", "Thorin", "killed", "goblins"))
+      .toDF("event_id", "agent", "action", "patient")
+    val byAgent = Events.findEvents(events, agent = Some("Gandalf"))
+      .select("event_id").collect().map(_.getString(0)).toSeq
+    assert(byAgent == Seq("e1")) // substring both ways
+    val byAll = Events.findEvents(events, action = Some("kills"),
+      patient = Some("balrog")).select("event_id").collect().map(_.getString(0))
+    assert(byAll.toSeq == Seq("e1")) // stem + article-stripped containment
+  }
+
+  test("get_ordering: direct relation with inverse flip, else era/year (E8)") {
+    import spark.implicits._
+    val events = Seq(
+      ("e1", 2941: Integer, "THIRD_AGE"),
+      ("e2", 2950: Integer, "THIRD_AGE"),
+      ("e3", null.asInstanceOf[Integer], "FIRST_AGE"))
+      .toDF("event_id", "year", "era")
+    val rows = events.collect().map(r => r.getAs[String]("event_id") -> r).toMap
+    val rels = Seq(("e2", "e1", "BEFORE")).toDF("event1_id", "event2_id", "relation")
+    assert(Events.getOrdering(rels, rows("e2"), rows("e1")) == "before")
+    assert(Events.getOrdering(rels, rows("e1"), rows("e2")) == "after") // flipped
+    val empty = Seq.empty[(String, String, String)]
+      .toDF("event1_id", "event2_id", "relation")
+    assert(Events.getOrdering(empty, rows("e3"), rows("e1")) == "before") // era
+    assert(Events.getOrdering(empty, rows("e1"), rows("e2")) == "before") // year
+  }
+
   test("ordering inference: era then year, tie years skipped (E9)") {
     import spark.implicits._
     val events = Seq(
