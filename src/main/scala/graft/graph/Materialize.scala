@@ -90,6 +90,41 @@ object Materialize {
       .select(col("passage_id"), col("doc_id"), col("pos"),
         substring(col("text"), 1, 500).as("text"))
 
+  /** G6/G7: per-doc ("book") style scalar rows (writer.py:376-467). */
+  def bookStyle(spark: SparkSession, passages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = graft.style.Metrics.sentenceMetrics(passages, col("text"))
+    m.groupBy("doc_id").agg(
+      count(lit(1)).as("sentences"),
+      sum(col("word_count").cast("long")).as("word_count"),
+      avg(col("word_count")).as("avg_sentence_words"),
+      sum(when(col("has_dialogue"), 1L).otherwise(0L)).as("dialogue_sentences"),
+      sum(when(col("is_passive"), 1L).otherwise(0L)).as("passive_sentences"),
+      sum(when(col("is_question"), 1L).otherwise(0L)).as("questions"),
+      sum(when(col("is_exclamation"), 1L).otherwise(0L)).as("exclamations"))
+  }
+
+  /** G8/G10: character voice scalars joined onto the vertex table by the
+    * reference's name->canonical-id map with a `char_<slug>` fallback
+    * (writer.py:561-611). One broadcast lookup, no shuffle of vertices.
+    */
+  def characterVoice(
+      spark: SparkSession,
+      vertices: DataFrame,
+      voiceProfiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lk = spark.sparkContext.broadcast(
+      new graft.extract.LocalLinker(graft.extract.Seeds.default))
+    val resolveId = udf((speaker: String) =>
+      lk.value.lookup(speaker).map(_._1).getOrElse(
+        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
+    val keyed = voiceProfiles.withColumn("id", resolveId(col("speaker")))
+    vertices.join(
+      keyed.select(col("id"), col("total_lines"), col("questions"),
+        col("avg_words").as("avg_utterance_words")),
+      Seq("id"), "left")
+  }
+
   /** Run the full KG-construction pipeline through the checkpointed stage
     * runner; returns the final edge table. Resume-safe: stages already
     * complete in the warehouse are loaded, not recomputed.
@@ -113,8 +148,14 @@ object Materialize {
         ck.recordMetric("cc_superstep", s.superstep, s.changed, "superstep"))
       assignment
     }
-    ck.stage("vertices") { vertexDelta(linked) }
+    val vertices = ck.stage("vertices") { vertexDelta(linked) }
     ck.stage("passage_vertices") { passageVertices(passages, triples) }
+    ck.stage("book_style") { bookStyle(spark, passages) }
+    ck.stage("character_voice") {
+      characterVoice(spark, vertices,
+        graft.voice.Dialogue.voiceProfiles(spark,
+          graft.voice.Dialogue.fromPassages(spark, passages).toDF()))
+    }
     ck.stage("edges") { edgeDelta(triples) }
   }
 }

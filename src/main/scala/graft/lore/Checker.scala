@@ -150,6 +150,24 @@ object Checker {
         col("evidence"))
   }
 
+  /** Q8 confidence blend (checker.py:27-56): base by evidence kind x
+    * token-set similarity (Jaccard on token sets approximates rapidfuzz
+    * token_set_ratio, SURVEY.md Q8), clamped to [0.5, 0.95].
+    */
+  def computeConfidence(evidenceKind: String, a: String, b: String): Double = {
+    val base = evidenceKind match {
+      case "direct" => 0.95
+      case "year" => 0.88
+      case _ => 0.80
+    }
+    val (ta, tb) = (a.toLowerCase.split("\\s+").toSet,
+      b.toLowerCase.split("\\s+").toSet)
+    val sim =
+      if (ta.isEmpty || tb.isEmpty) 0.0
+      else (ta intersect tb).size.toDouble / (ta union tb).size
+    math.max(0.5, math.min(0.95, base * sim))
+  }
+
   /** Q4 entity-existence check against the vertex table. */
   def checkEntities(
       spark: SparkSession,

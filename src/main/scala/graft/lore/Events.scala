@@ -107,6 +107,20 @@ object Events {
       }
   }
 
+  /** E11 TemporalEntity.alive_during tri-state (lore/temporal.py:86-110):
+    * Some(true/false) when knowable from the era range, None when unknown.
+    */
+  def aliveDuring(firstEra: Option[String], lastEra: Option[String],
+      era: String): Option[Boolean] = {
+    val e = EraOrder.get(era)
+    (e, firstEra.flatMap(EraOrder.get), lastEra.flatMap(EraOrder.get)) match {
+      case (Some(x), Some(lo), Some(hi)) => Some(x >= lo && x <= hi)
+      case (Some(x), Some(lo), None) => if (x < lo) Some(false) else None
+      case (Some(x), None, Some(hi)) => if (x > hi) Some(false) else None
+      case _ => None
+    }
+  }
+
   /** E7 find_events (lore/events.py:119-162): fuzzy event filter —
     * agent substring both ways, action stem-matched, patient
     * article-stripped containment.

@@ -76,6 +76,26 @@ object Profiles {
       .select("speaker", "rank", "phrase", "cnt")
   }
 
+  /** V10 compare_voices (voice/analyzer.py:189-246): pairwise similarity
+    * from scalar profile metrics — all speaker pairs in one self-join.
+    * Input: voiceProfiles output; similarity = mean of per-metric
+    * closeness ratios.
+    */
+  def compareVoices(profiles: DataFrame): DataFrame = {
+    val a = profiles.select(col("speaker").as("speaker_a"),
+      col("avg_words").as("aw_a"),
+      (col("questions").cast("double") / col("total_lines")).as("qr_a"))
+    val b = profiles.select(col("speaker").as("speaker_b"),
+      col("avg_words").as("aw_b"),
+      (col("questions").cast("double") / col("total_lines")).as("qr_b"))
+    a.join(b, col("speaker_a") < col("speaker_b"))
+      .select(col("speaker_a"), col("speaker_b"),
+        ((lit(1.0) - abs(col("aw_a") - col("aw_b"))
+          / greatest(col("aw_a"), col("aw_b"), lit(1.0))) * 0.5 +
+          (lit(1.0) - abs(col("qr_a") - col("qr_b"))) * 0.5)
+          .as("similarity"))
+  }
+
   /** V7 sample quotes: best question + best exclamation + statements,
     * quality = word-length band (5-20 -> 1.0, 3-30 -> 0.5, else 0.1)
     * (profile.py:319-360). Deterministic tiebreak by quote text.

@@ -38,6 +38,13 @@ class CheckerSpec extends AnyFunSuite {
     assert(c.claimType == "CAPABILITY" && c.value.contains("transform"))
   }
 
+  test("Q8 confidence: base x token-set jaccard, clamped [0.5, 0.95]") {
+    assert(Checker.computeConfidence("direct", "gandalf", "gandalf") == 0.95)
+    val c = Checker.computeConfidence("year", "gandalf the grey", "gandalf")
+    assert(c >= 0.5 && c < 0.88)
+    assert(Checker.computeConfidence("era", "x", "totally different") == 0.5)
+  }
+
   test("predicate map ported verbatim, incl the reference's quirks") {
     assert(Checker.PredicateToEdgeType("met") == "INTERACTED_WITH")
     assert(Checker.PredicateToEdgeType("visited") == "TRAVELED_TO")

@@ -28,6 +28,15 @@ class EventsSpec extends SparkSpec {
     assert(Events.extractYear("no dates here") == ((None, None)))
   }
 
+  test("alive_during tri-state (E11, lore/temporal.py:86-110)") {
+    assert(Events.aliveDuring(Some("FIRST_AGE"), Some("THIRD_AGE"), "SECOND_AGE")
+      .contains(true))
+    assert(Events.aliveDuring(Some("SECOND_AGE"), Some("THIRD_AGE"), "FIRST_AGE")
+      .contains(false))
+    assert(Events.aliveDuring(Some("SECOND_AGE"), None, "THIRD_AGE").isEmpty)
+    assert(Events.aliveDuring(None, None, "THIRD_AGE").isEmpty)
+  }
+
   test("find_events fuzzy filter (E7)") {
     import spark.implicits._
     val events = Seq(
