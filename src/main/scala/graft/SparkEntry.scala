@@ -259,23 +259,23 @@ object SparkEntry {
           |FROM dlg""".stripMargin),
       "q12_voice_profiles" -> withDialogue(
         """SELECT speaker, count(*) AS total_lines,
-          |       sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS questions,
-          |       sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS exclamations,
-          |       sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS statements,
+          |       CAST(sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS BIGINT) AS questions,
+          |       CAST(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS exclamations,
+          |       CAST(sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS statements,
           |       avg(len(regexp_split_to_array(trim(quote), '\s+'))) AS avg_words,
-          |       sum(len(regexp_split_to_array(trim(quote), '\s+'))) AS total_words
+          |       CAST(sum(len(regexp_split_to_array(trim(quote), '\s+'))) AS BIGINT) AS total_words
           |FROM dlg GROUP BY 1 HAVING count(*) >= 3""".stripMargin),
       "q13_style_doc" -> withDialogue(
         """SELECT s.doc_id,
           |       count(*) AS sentences,
-          |       sum(len(regexp_split_to_array(trim(s.text), '\s+'))) AS words,
-          |       coalesce(any_value(d.quotes), 0) AS quotes,
-          |       coalesce(any_value(d.question_quotes), 0) AS question_quotes,
+          |       CAST(sum(len(regexp_split_to_array(trim(s.text), '\s+'))) AS BIGINT) AS words,
+          |       CAST(coalesce(any_value(d.quotes), 0) AS BIGINT) AS quotes,
+          |       CAST(coalesce(any_value(d.question_quotes), 0) AS BIGINT) AS question_quotes,
           |       (coalesce(any_value(d.qchars), 0)::DOUBLE / sum(length(s.text)))
           |         AS dialogue_ratio
           |FROM syn s
           |LEFT JOIN (SELECT doc_id, count(*) AS quotes,
-          |                  sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS question_quotes,
+          |                  CAST(sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS BIGINT) AS question_quotes,
           |                  sum(length(quote)) AS qchars
           |           FROM dlg GROUP BY 1) d ON d.doc_id = s.doc_id
           |WHERE s.kind <> 'media'
@@ -318,13 +318,13 @@ object SparkEntry {
       "q21_quality" -> Oracles.qualitySql,
       "q22_tokens" ->
         """SELECT doc_id,
-          |  CASE WHEN length(trim(text)) = 0 THEN 0
-          |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens
           |FROM documents""".stripMargin,
       "q23_fingerprint" ->
         """SELECT doc_id,
-          |       sum(i * (('0x' || substring(md5(w), 1, 8))::BIGINT)) AS fingerprint
+          |       CAST(sum(i * (('0x' || substring(md5(w), 1, 8))::BIGINT)) AS BIGINT) AS fingerprint
           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
           |             generate_subscripts(string_split(text, ' '), 1) AS i
           |      FROM documents)
@@ -335,11 +335,11 @@ object SparkEntry {
           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
           |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
           |      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-          |SELECT query_id, rank, neighbor_id FROM (
+          |SELECT query_id, CAST(rank_big AS INT) AS rank, neighbor_id FROM (
           |  SELECT query_id, neighbor_id,
           |         row_number() OVER (PARTITION BY query_id
-          |                            ORDER BY cos DESC, neighbor_id) AS rank
-          |  FROM s) WHERE rank <= 5""".stripMargin,
+          |                            ORDER BY cos DESC, neighbor_id) AS rank_big
+          |  FROM s) WHERE rank_big <= 5""".stripMargin,
       "q33_distinctive_words" -> withDialogue(
         """, words AS (
           |  SELECT speaker, unnest(regexp_split_to_array(lower(quote), '\s+')) AS word
@@ -350,7 +350,7 @@ object SparkEntry {
           |), totals AS (SELECT speaker, sum(cnt) AS char_total FROM counts GROUP BY 1),
           |ns AS (SELECT count(DISTINCT speaker) AS n FROM counts),
           |dfreq AS (SELECT word, count(*) AS speakers_using FROM counts GROUP BY 1)
-          |SELECT speaker, rank, word FROM (
+          |SELECT speaker, CAST(rank AS INT) AS rank, word FROM (
           |  SELECT c.speaker, c.word,
           |    row_number() OVER (PARTITION BY c.speaker ORDER BY
           |      ((c.cnt::DOUBLE / t.char_total)
@@ -369,14 +369,14 @@ object SparkEntry {
           |FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
           |GROUP BY 1""".stripMargin),
       "q38_top_entities" -> withClusters(
-        """SELECT rank, cluster, mention_count FROM (
+        """SELECT CAST(rank_big AS INT) AS rank, cluster, mention_count FROM (
           |  SELECT cluster, mention_count,
-          |         row_number() OVER (ORDER BY mention_count DESC, cluster ASC) AS rank
+          |         row_number() OVER (ORDER BY mention_count DESC, cluster ASC) AS rank_big
           |  FROM (
           |    SELECT l2.cluster, count(*) AS mention_count
           |    FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
           |    GROUP BY 1)
-          |) WHERE rank <= 10""".stripMargin),
+          |) WHERE rank_big <= 10""".stripMargin),
       "q39_sample_quotes" -> withDialogue(
         """SELECT speaker, qtype, quote FROM (
           |  SELECT speaker, qtype, quote,
