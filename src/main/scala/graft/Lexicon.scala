@@ -41,6 +41,26 @@ object Lexicon {
     "Rivendell", "Hobbiton", "Erebor", "Gondor", "Moria", "Mirkwood",
     "Rohan", "Isengard", "Esgaroth", "Bree", "Lorien", "Dale")
 
+  /** Birth-era names planted by m=20 templates (indexed by s % 2).
+    * {Second, Third} chosen so the era phrase never starts with a
+    * NonNames token ("First" is in the capitalized-span stoplist, which
+    * would truncate the heuristic mention to just "Age").
+    */
+  val BirthEras: IndexedSeq[String] = Vector("Second", "Third")
+
+  /** Death-era names for m=21 (indexed by s % 2); always one age after
+    * the matching birth era so every character's lifespan is consistent
+    * corpus-wide.
+    */
+  val DeathEras: IndexedSeq[String] = Vector("Third", "Fourth")
+
+  /** People groups planted by m=25 culture templates (indexed by p % 6);
+    * surface forms match the reference's cultures keyword groups
+    * (worldbible/extractor.py:306-313).
+    */
+  val Peoples: IndexedSeq[String] = Vector(
+    "hobbits", "elves", "dwarves", "men", "orcs", "wizards")
+
   /** Planted verb phrases: (surface phrase, predicate, objKind).
     * objKind: 0 = character object, 1 = place object.
     * Predicates follow the reference lexicon

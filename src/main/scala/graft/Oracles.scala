@@ -24,7 +24,7 @@ object Oracles {
        |         ELSE (l_partkey + 3*l_linenumber) % 20 END AS INT) AS o,
        |    CAST(l_suppkey % 8 AS INT) AS v,
        |    CAST((l_partkey + l_suppkey) % 12 AS INT) AS p,
-       |    CAST((7*l_partkey + 13*l_linenumber + 3*l_suppkey) % 20 AS INT) AS m,
+       |    CAST((7*l_partkey + 13*l_linenumber + 3*l_suppkey) % 28 AS INT) AS m,
        |    CAST(2900 + l_partkey % 60 AS INT) AS y
        |  FROM lineitem
        |  WINDOW w AS (PARTITION BY l_orderkey
@@ -36,6 +36,9 @@ object Oracles {
   private def placeAt(i: String) = sqlElem(Places, i)
   private def verbAt(i: String) = sqlElem(Verbs.map(_._1), i)
   private def predAt(i: String) = sqlElem(Verbs.map(_._2), i)
+  private def birthEraAt(i: String) = sqlElem(BirthEras, i)
+  private def deathEraAt(i: String) = sqlElem(DeathEras, i)
+  private def peopleAt(i: String) = sqlElem(Peoples, i)
   /** 1 when the verb's object is a place. */
   private def objKindAt(i: String) =
     s"(${Verbs.map(_._3).mkString("[", ", ", "]")})[CAST(($i) AS INT) + 1]"
@@ -47,15 +50,20 @@ object Oracles {
     val subj = charAt("s")
     val objC = charAt("o")
     val place = placeAt("p")
+    val place2 = placeAt("(p + 5) % 12")
     val alias = aliasAt("s")
     val verb = verbAt("v")
     val obj = s"CASE WHEN ${objKindAt("v")} = 1 THEN $place ELSE $objC END"
     val typo = s"substring($subj, 1, length($subj) - 1)"
+    val eraB = birthEraAt("s % 2")
+    val eraD = deathEraAt("s % 2")
+    val people = peopleAt("p % 6")
     s"""$base,
        |syn0 AS (
        |  SELECT doc_id, pos, s, o, v, p, m, y,
-       |    CASE WHEN m BETWEEN 11 AND 13 THEN 'dialogue'
-       |         WHEN m >= 18 THEN 'media' ELSE 'text' END AS kind,
+       |    CAST(2800 + s * 7 AS INT) AS ya,
+       |    CASE WHEN m BETWEEN 11 AND 13 OR m = 23 THEN 'dialogue'
+       |         WHEN m BETWEEN 18 AND 19 THEN 'media' ELSE 'text' END AS kind,
        |    CASE
        |      WHEN m <= 10 THEN $subj || ' ' || $verb || ' ' || $obj || '.'
        |      WHEN m = 11 THEN
@@ -68,8 +76,22 @@ object Oracles {
        |        $subj || ' (also known as ' || $alias || ') rested quietly.'
        |      WHEN m = 17 THEN $subj || ' returned to ' || $place ||
        |        ' in the year ' || y || ' of the Third Age.'
+       |      WHEN m = 20 THEN $subj || ' was born in the ' || $eraB || ' Age.'
+       |      WHEN m = 21 THEN $subj || ' perished in the ' || $eraD || ' Age.'
+       |      WHEN m = 22 THEN $subj || ' welcomed the King of ' || $place || '.'
+       |      WHEN m = 23 AND v % 2 = 0 THEN
+       |        '"Enough of this." ' || $subj || ' turned away.'
+       |      WHEN m = 23 THEN '"We shall see." And quietly said ' || $subj || '.'
+       |      WHEN m = 24 THEN $place || ' lies in the valley of ' || $place2 || '.'
+       |      WHEN m = 25 THEN
+       |        'The ' || $people || ' honor their custom of gift giving.'
+       |      WHEN m = 26 AND v % 2 = 0 THEN
+       |        'Only the wizards of ' || $place || ' can weave such spells.'
+       |      WHEN m = 26 THEN $subj || ' cannot wield such magic openly.'
+       |      WHEN m = 27 THEN $subj || ' arrived in ' || $place ||
+       |        ' in the year ' || (2800 + s * 7) || ' of the Third Age.'
        |      ELSE '' END AS text,
-       |    CASE WHEN m >= 18 THEN
+       |    CASE WHEN m BETWEEN 18 AND 19 THEN
        |      'm/' || l_orderkey || '/' || l_linenumber || '.png' END AS media_ref
        |  FROM syn_base
        |),
@@ -160,6 +182,14 @@ object Oracles {
   val eObj: String = s"CASE WHEN $eObjIsPlace THEN $ePlace ELSE $eObjC END"
   /** Typo'd subject (m=14 rows). */
   val eTypo: String = s"substring($eSubj, 1, length($eSubj) - 1)"
+  /** Second place (m=24 rows). */
+  val ePlace2: String = placeAt("(p + 5) % 12")
+  /** Birth-era name (m=20 rows). */
+  val eEraB: String = birthEraAt("s % 2")
+  /** Death-era name (m=21 rows). */
+  val eEraD: String = deathEraAt("s % 2")
+  /** People group (m=25 rows). */
+  val ePeople: String = peopleAt("p % 6")
   /** rapidfuzz indel ratio of typo vs full name: 2*(n-1)/(2n-1). */
   val eTypoRatio: String =
     s"(2.0 * (length($eSubj) - 1) / (2 * length($eSubj) - 1))"
@@ -232,7 +262,51 @@ object Oracles {
         s"length($eSubj) + length(' returned to ') + length($ePlace) + " +
           "length(' in the year ') + length(CAST(y AS VARCHAR)) + length(' of the ')",
         "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
-        "TRUE", "'Third Age' — unseeded"))
+        "TRUE", "'Third Age' — unseeded"),
+      row("m = 20", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "birth subject"),
+      row("m = 20", s"$eEraB || ' Age'", s"length($eSubj) + 17",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "birth era span — unseeded"),
+      row("m = 21", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "death subject"),
+      row("m = 21", s"$eEraD || ' Age'", s"length($eSubj) + 17",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "death era span — unseeded"),
+      row("m = 22", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "title-row subject"),
+      row("m = 22", s"'King of ' || $ePlace", s"length($eSubj) + 14",
+        "'PERSON'", "'pattern'", "0.9", "NULL", "'character'", "0.0",
+        "TRUE", "title span (N3) wins the N5 dedup over the place inside it"),
+      row("m = 23 AND v % 2 = 0", "'Enough'", "1",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "capitalized quote word — unseeded"),
+      row("m = 23 AND v % 2 = 0", eSubj, "18", "'PERSON'", "'gazetteer'",
+        "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
+        "tier-4 attribution speaker"),
+      row("m = 23 AND v % 2 = 1", eSubj, "33", "'PERSON'", "'gazetteer'",
+        "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
+        "tier-3 attribution speaker"),
+      row("m = 24", ePlace, "0", "'PLACE'", "'gazetteer'", "0.85",
+        s"lower($ePlace)", "'place'", "1.0", "FALSE", "geography subject"),
+      row("m = 24", ePlace2, s"length($ePlace) + 23",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace2)", "'place'",
+        "1.0", "FALSE", "geography object"),
+      row("m = 26 AND v % 2 = 0", ePlace, "20", "'PLACE'", "'gazetteer'",
+        "0.85", s"lower($ePlace)", "'place'", "1.0", "FALSE",
+        "capability-rule place"),
+      row("m = 26 AND v % 2 = 1", eSubj, "0", "'PERSON'", "'gazetteer'",
+        "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
+        "limitation-rule subject"),
+      row("m = 27", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE", "arrival subject"),
+      row("m = 27", ePlace, s"length($eSubj) + 12",
+        "'PLACE'", "'gazetteer'", "0.85", s"lower($ePlace)", "'place'",
+        "1.0", "FALSE", "arrival place"),
+      row("m = 27", "'Third Age'",
+        s"length($eSubj) + 12 + length($ePlace) + 13 + length(CAST(ya AS VARCHAR)) + 8",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "arrival 'Third Age' span"))
     s"entity_rows AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
   }
 
@@ -300,7 +374,10 @@ object Oracles {
        |  ) GROUP BY node
        |)""".stripMargin
 
-  /** Expected dialogue lines (V1/V3 outcome on the planted templates). */
+  /** Expected dialogue lines (V1/V3 outcome on the planted templates):
+    * tiers 1-2 (m=11..13, conf 0.9), tier 4 (m=23 even, conf 0.4, no verb),
+    * tier 3 (m=23 odd, conf 0.7).
+    */
   val dialogueCte: String =
     s"""dlg AS (
        |  SELECT doc_id, pos,
@@ -313,6 +390,15 @@ object Oracles {
        |    (m = 12) AS is_question,
        |    FALSE AS is_exclamation
        |  FROM syn WHERE m BETWEEN 11 AND 13
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    CASE WHEN v % 2 = 0 THEN 'Enough of this.'
+       |         ELSE 'We shall see.' END AS quote,
+       |    $eSubj AS speaker,
+       |    CASE WHEN v % 2 = 0 THEN NULL ELSE 'said' END AS speech_verb,
+       |    CAST(CASE WHEN v % 2 = 0 THEN 0.4 ELSE 0.7 END AS DOUBLE),
+       |    FALSE, FALSE
+       |  FROM syn WHERE m = 23
        |)""".stripMargin
 
   /** Expected events (E5/E6 outcome): planted verbs that are also event
@@ -336,10 +422,19 @@ object Oracles {
        |    $eSubj, 'returned', 'to ' || $ePlace, y, 'THIRD_AGE',
        |    CAST(0.6 AS DOUBLE)
        |  FROM syn WHERE m = 17
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    lower(replace($eSubj || '_arrived_in ' || $ePlace, ' ', '_')) AS event_id,
+       |    $eSubj, 'arrived', 'in ' || $ePlace, ya, 'THIRD_AGE',
+       |    CAST(0.6 AS DOUBLE)
+       |  FROM syn WHERE m = 27
        |)""".stripMargin
   }
 
-  /** Expected triples: doc_id, pos, subject_id, predicate, object_id. */
+  /** Expected triples: doc_id, pos, subject_id, predicate, object_id.
+    * m=27 arrival rows ("X arrived in P ...") yield TRAVELED_TO via the
+    * surface form "arrived" in the verb lexicon.
+    */
   val tripleRowsCte: String =
     s"""triple_rows AS (
        |  SELECT doc_id, pos,
@@ -347,6 +442,83 @@ object Oracles {
        |         $ePred AS predicate,
        |         lower($eObj) AS object_id
        |  FROM syn WHERE m <= 10 OR m = 14
+       |  UNION ALL
+       |  SELECT doc_id, pos, lower($eSubj), 'TRAVELED_TO', lower($ePlace)
+       |  FROM syn WHERE m = 27
+       |)""".stripMargin
+
+  /** Corpus-level distinct world rules (the lore checker's rule cache,
+    * reference checker.py:221-235 over the bible's deduped rules): one row
+    * per distinct lower(rule text). Derived from the planted W2 matches
+    * (see q31's per-passage oracle for the derivation rationale).
+    */
+  val ruleRowsCte: String =
+    s"""rule_rows AS (
+       |  SELECT DISTINCT lower(rule_text) AS rule_text, category FROM (
+       |    SELECT 'We must ride to ' || $ePlace || ' at dawn' AS rule_text,
+       |           'themes' AS category FROM syn WHERE m = 11
+       |    UNION ALL
+       |    SELECT 'All is well in ' || $ePlace, 'themes' FROM syn WHERE m = 13
+       |    UNION ALL
+       |    SELECT $eSubj || ' was born in the ' || $eEraB || ' Age', 'history'
+       |    FROM syn WHERE m = 20
+       |    UNION ALL
+       |    SELECT 'We shall see', 'themes' FROM syn WHERE m = 23 AND v % 2 = 1
+       |    UNION ALL
+       |    SELECT 'Only the wizards of ' || $ePlace || ' can weave such spells',
+       |           'magic' FROM syn WHERE m = 26 AND v % 2 = 0
+       |    UNION ALL
+       |    SELECT $eSubj || ' cannot wield such magic openly', 'magic'
+       |    FROM syn WHERE m = 26 AND v % 2 = 1
+       |  )
+       |)""".stripMargin
+
+  /** Expected timeline (E12 outcome): planted characters carry a birth era
+    * (m=20) and a death era (m=21), both pure functions of the character;
+    * LIVED-pattern artifacts ("was born", "<Char> perished", "year NNNN")
+    * are included with first-seen-by-(doc_id, pos) semantics — the engine's
+    * deterministic, order-independent stand-in for the reference's
+    * text-order processing (temporal.py:294-346).
+    */
+  val timelineCte: String =
+    s"""birth AS (
+       |  SELECT $eSubj AS name,
+       |         CASE WHEN s % 2 = 0 THEN 'SECOND_AGE' ELSE 'THIRD_AGE' END AS era
+       |  FROM syn WHERE m = 20 GROUP BY 1, 2
+       |),
+       |death AS (
+       |  SELECT $eSubj AS name,
+       |         CASE WHEN s % 2 = 0 THEN 'THIRD_AGE' ELSE 'FOURTH_AGE' END AS era
+       |  FROM syn WHERE m = 21 GROUP BY 1, 2
+       |),
+       |lived0 AS (
+       |  SELECT 'was born' AS name,
+       |         CASE WHEN s % 2 = 0 THEN 'SECOND_AGE' ELSE 'THIRD_AGE' END AS era,
+       |         doc_id, pos
+       |  FROM syn WHERE m = 20
+       |  UNION ALL
+       |  SELECT $eSubj || ' perished',
+       |         CASE WHEN s % 2 = 0 THEN 'THIRD_AGE' ELSE 'FOURTH_AGE' END,
+       |         doc_id, pos
+       |  FROM syn WHERE m = 21
+       |  UNION ALL
+       |  SELECT 'year ' || y, 'THIRD_AGE', doc_id, pos FROM syn WHERE m = 17
+       |  UNION ALL
+       |  SELECT 'year ' || ya, 'THIRD_AGE', doc_id, pos FROM syn WHERE m = 27
+       |),
+       |lived AS (
+       |  SELECT name, arg_min(era, doc_id || '#' || lpad(CAST(pos AS VARCHAR), 6, '0')) AS era
+       |  FROM lived0
+       |  WHERE lower(name) NOT IN (SELECT lower(name) FROM birth
+       |                            UNION SELECT lower(name) FROM death)
+       |  GROUP BY name
+       |),
+       |timeline_rows AS (
+       |  SELECT coalesce(b.name, d.name) AS name,
+       |         b.era AS birth_era, d.era AS death_era
+       |  FROM birth b FULL OUTER JOIN death d ON lower(b.name) = lower(d.name)
+       |  UNION ALL
+       |  SELECT name, era, era FROM lived
        |)""".stripMargin
 
 }

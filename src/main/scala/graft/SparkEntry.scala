@@ -401,11 +401,34 @@ object SparkEntry {
           |FROM syn WHERE (m <= 10 OR m = 14) AND v = 7
           |UNION ALL
           |SELECT doc_id, pos, 'themes', CAST(0.5 AS DOUBLE)
-          |FROM syn WHERE m = 11 OR m = 13
+          |FROM syn WHERE m = 11 OR m = 13 OR (m = 23 AND v % 2 = 1)
           |UNION ALL
           |SELECT doc_id, pos, 'history',
           |       CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE m = 17""".stripMargin),
+          |FROM syn WHERE m = 17 OR m = 27
+          |UNION ALL
+          |SELECT doc_id, pos, 'history', CAST(0.7 AS DOUBLE)
+          |FROM syn WHERE m = 20
+          |UNION ALL
+          |SELECT doc_id, pos, 'history',
+          |       CAST(CASE WHEN s % 2 = 0 THEN 0.4 ELSE 0.2 END AS DOUBLE)
+          |FROM syn WHERE m = 21
+          |UNION ALL
+          |SELECT doc_id, pos, 'geography', CAST(0.2 AS DOUBLE)
+          |FROM syn WHERE m = 24
+          |UNION ALL
+          |SELECT doc_id, pos, 'culture', CAST(0.6 AS DOUBLE)
+          |FROM syn WHERE m = 25
+          |UNION ALL
+          |SELECT doc_id, pos, 'creatures', CAST(0.2 AS DOUBLE)
+          |FROM syn WHERE m = 25 AND p % 6 = 4
+          |UNION ALL
+          |SELECT doc_id, pos, 'magic', CAST(0.2 AS DOUBLE)
+          |FROM syn WHERE m = 25 AND p % 6 = 5
+          |UNION ALL
+          |SELECT doc_id, pos, 'magic',
+          |       CAST(CASE WHEN v % 2 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE)
+          |FROM syn WHERE m = 26""".stripMargin),
       "q31_worldbible_rules" -> Oracles.overSyn(
         s"""SELECT doc_id, pos, 'capability' AS pattern_name,
            |       'We must ride to ' || ${Oracles.ePlace} || ' at dawn' AS rule_text,
@@ -414,7 +437,24 @@ object SparkEntry {
            |UNION ALL
            |SELECT doc_id, pos, 'definition',
            |       'All is well in ' || ${Oracles.ePlace}, 'themes'
-           |FROM syn WHERE m = 13""".stripMargin),
+           |FROM syn WHERE m = 13
+           |UNION ALL
+           |SELECT doc_id, pos, 'definition',
+           |       ${Oracles.eSubj} || ' was born in the ' || ${Oracles.eEraB} || ' Age',
+           |       'history'
+           |FROM syn WHERE m = 20
+           |UNION ALL
+           |SELECT doc_id, pos, 'capability', 'We shall see', 'themes'
+           |FROM syn WHERE m = 23 AND v % 2 = 1
+           |UNION ALL
+           |SELECT doc_id, pos, 'capability',
+           |       'Only the wizards of ' || ${Oracles.ePlace} || ' can weave such spells',
+           |       'magic'
+           |FROM syn WHERE m = 26 AND v % 2 = 0
+           |UNION ALL
+           |SELECT doc_id, pos, 'capability',
+           |       ${Oracles.eSubj} || ' cannot wield such magic openly', 'magic'
+           |FROM syn WHERE m = 26 AND v % 2 = 1""".stripMargin),
       "q32_lore_checks" -> withTriples(loreClaims.map { text =>
         val c = graft.lore.Checker.parse(text)
         val et = graft.lore.Checker.PredicateToEdgeType.getOrElse(

@@ -14,7 +14,7 @@ import graft.Lexicon._
   * l_partkey, l_suppkey), so the identical derivation is expressible as
   * DuckDB SQL for the driver's oracle checks — see [[graft.Oracles.synCte]].
   *
-  * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 20:
+  * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 28:
   *   0..10  text: "<Char> <verb-phrase> <Char|Place>."          (triple)
   *   11     dialogue tier-1: "\"We must ride to <Place> at dawn,\" said <Char>."
   *   12     dialogue tier-1 question: "\"How do we get to <Place> at dawn?\" asked <Char>."
@@ -23,6 +23,21 @@ import graft.Lexicon._
   *   15..16 text alias: "<Char> (also known as <Alias>) rested quietly."
   *   17     text temporal: "<Char> returned to <Place> in the year <Y> of the Third Age."
   *   18..19 media: text='', media_ref='m/<orderkey>/<linenumber>.png'
+  *   20     birth (E12): "<Char> was born in the <EraB> Age."
+  *   21     death (E12): "<Char> perished in the <EraD> Age."
+  *   22     title adversarial (N3/N5): "<Char> welcomed the King of <Place>."
+  *   23     tier-4/3 attribution (V3): v even ->
+  *            "\"Enough of this.\" <Char> turned away."
+  *          v odd -> "\"We shall see.\" And quietly said <Char>."
+  *   24     geography (W10): "<Place> lies in the valley of <Place2>."
+  *   25     culture (W8): "The <People> honor their custom of gift giving."
+  *   26     capability rules (W9/Q9): v even ->
+  *            "Only the wizards of <Place> can weave such spells."
+  *          v odd -> "<Char> cannot wield such magic openly."
+  *   27     dated arrival (Q7 event-order): "<Char> arrived in <Place>
+  *          in the year <YA> of the Third Age."  (YA = 2800 + 7*s, a pure
+  *          function of the character so cross-character ordering is
+  *          deterministic corpus-wide)
   */
 object DocsSynth {
 
@@ -40,7 +55,7 @@ object DocsSynth {
     val v = pmod(col("l_suppkey"), lit(8L)).cast("int")
     val p = pmod(col("l_partkey") + col("l_suppkey"), lit(12L)).cast("int")
     val m = pmod(lit(7L) * col("l_partkey") + lit(13L) * col("l_linenumber")
-      + lit(3L) * col("l_suppkey"), lit(20L)).cast("int")
+      + lit(3L) * col("l_suppkey"), lit(28L)).cast("int")
     val y = (lit(2900L) + pmod(col("l_partkey"), lit(60L))).cast("int")
 
     val charArr = array(Chars.map(lit): _*)
@@ -48,17 +63,25 @@ object DocsSynth {
     val placeArr = array(Places.map(lit): _*)
     val verbArr = array(Verbs.map(t => lit(t._1)): _*)
     val objKindArr = array(Verbs.map(t => lit(t._3)): _*)
+    val birthEraArr = array(BirthEras.map(lit): _*)
+    val deathEraArr = array(DeathEras.map(lit): _*)
+    val peopleArr = array(Peoples.map(lit): _*)
 
     val subj = element_at(charArr, s + 1)
     val obj = when(element_at(objKindArr, v + 1) === 1, element_at(placeArr, p + 1))
       .otherwise(element_at(charArr, o + 1))
     val verbPhrase = element_at(verbArr, v + 1)
     val place = element_at(placeArr, p + 1)
+    val place2 = element_at(placeArr, pmod(p + 5, lit(12)) + 1)
     val alias = element_at(aliasArr, s + 1)
     val typo = subj.substr(lit(1), length(subj) - 1)
+    val eraB = element_at(birthEraArr, pmod(s, lit(2)) + 1)
+    val eraD = element_at(deathEraArr, pmod(s, lit(2)) + 1)
+    val people = element_at(peopleArr, pmod(p, lit(6)) + 1)
+    val ya = (lit(2800) + s * 7).cast("int")
 
-    val kind = when(m.between(11, 13), "dialogue")
-      .when(m >= 18, "media")
+    val kind = when(m.between(11, 13) || m === 23, "dialogue")
+      .when(m.between(18, 19), "media")
       .otherwise("text")
 
     val text = when(m <= 10, concat(subj, lit(" "), verbPhrase, lit(" "), obj, lit(".")))
@@ -74,9 +97,31 @@ object DocsSynth {
       .when(m === 17,
         concat(subj, lit(" returned to "), place, lit(" in the year "),
           y.cast("string"), lit(" of the Third Age.")))
+      .when(m === 20,
+        concat(subj, lit(" was born in the "), eraB, lit(" Age.")))
+      .when(m === 21,
+        concat(subj, lit(" perished in the "), eraD, lit(" Age.")))
+      .when(m === 22,
+        concat(subj, lit(" welcomed the King of "), place, lit(".")))
+      .when(m === 23 && pmod(v, lit(2)) === 0,
+        concat(lit("\"Enough of this.\" "), subj, lit(" turned away.")))
+      .when(m === 23,
+        concat(lit("\"We shall see.\" And quietly said "), subj, lit(".")))
+      .when(m === 24,
+        concat(place, lit(" lies in the valley of "), place2, lit(".")))
+      .when(m === 25,
+        concat(lit("The "), people, lit(" honor their custom of gift giving.")))
+      .when(m === 26 && pmod(v, lit(2)) === 0,
+        concat(lit("Only the wizards of "), place,
+          lit(" can weave such spells.")))
+      .when(m === 26,
+        concat(subj, lit(" cannot wield such magic openly.")))
+      .when(m === 27,
+        concat(subj, lit(" arrived in "), place, lit(" in the year "),
+          ya.cast("string"), lit(" of the Third Age.")))
       .otherwise(lit(""))
 
-    val mediaRef = when(m >= 18,
+    val mediaRef = when(m.between(18, 19),
       concat(lit("m/"), col("l_orderkey").cast("string"), lit("/"),
         col("l_linenumber").cast("string"), lit(".png"))).otherwise(lit(null))
 

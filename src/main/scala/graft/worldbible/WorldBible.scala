@@ -109,19 +109,64 @@ object WorldBible {
     scores.toSeq
   }
 
-  /** find_rule_matches (W2): (pattern_name, matched text, category). */
-  def rules(text: String): Seq[(String, String, String)] = {
+  /** A pattern match with span, for the W4 overlap dedup. */
+  final case class Match(patternName: String, text: String,
+      start: Int, end: Int, category: String, confidence: Double)
+
+  /** find_rule_matches (W2, patterns.py:141-162): rule matches with spans,
+    * conf 0.85, category inferred from ±50-char context.
+    */
+  def ruleMatches(text: String): Seq[Match] = {
     rulePatterns.flatMap { case (p, name) =>
       val m = p.matcher(text)
-      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      val b = scala.collection.mutable.ArrayBuffer.empty[Match]
       while (m.find()) {
         val ctx = text.substring(math.max(0, m.start - 50),
           math.min(text.length, m.end + 50))
-        b += ((name, m.group(0), inferCategory(ctx)))
+        b += Match(name, m.group(0), m.start, m.end, inferCategory(ctx), 0.85)
       }
       b.toSeq
     }
   }
+
+  /** find_rule_matches (W2): (pattern_name, matched text, category). */
+  def rules(text: String): Seq[(String, String, String)] =
+    ruleMatches(text).map(m => (m.patternName, m.text, m.category))
+
+  /** find_category_matches (patterns.py:124-139): keyword hits as spans,
+    * conf 0.7, pattern_name "keyword".
+    */
+  def categoryMatches(text: String): Seq[Match] = {
+    categoryPatterns.flatMap { case (c, ps) =>
+      ps.flatMap { p =>
+        val m = p.matcher(text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[Match]
+        while (m.find()) b += Match("keyword", m.group(0), m.start, m.end, c, 0.7)
+        b.toSeq
+      }
+    }
+  }
+
+  /** extract_all + W4 overlap dedup (patterns.py:206-239): all matches
+    * sorted by (start, -confidence), greedily keeping non-overlapping —
+    * keyword matches and rule matches shadow each other by span.
+    */
+  def extractAll(text: String): Seq[Match] = {
+    val sorted = (categoryMatches(text) ++ ruleMatches(text))
+      .sortBy(m => (m.start, -m.confidence))
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Match]
+    sorted.foreach { m =>
+      val overlaps = kept.exists(a => !(m.end <= a.start || m.start >= a.end))
+      if (!overlaps) kept += m
+    }
+    kept.toSeq
+  }
+
+  /** The pattern names that qualify as world rules
+    * (extractor.py:279: _extract_rules_patterns filter).
+    */
+  val RuleNames: Set[String] = Set(
+    "capability", "definition", "exclusivity", "prohibition", "always_never")
 
   /** Spark stage: per-passage category scores. */
   def categories(spark: SparkSession, passages: DataFrame): DataFrame = {
@@ -132,13 +177,30 @@ object WorldBible {
       }).toDF("doc_id", "pos", "category", "score")
   }
 
-  /** Spark stage: extracted world rules (W7: dedup by lower(rule text)). */
+  /** Spark stage: extracted world rules — W4-deduped matches restricted to
+    * the five qualifying pattern names (extractor.py:268-300), one row per
+    * (passage, rule). Corpus-level text dedup is the rules-table aggregate
+    * (see rulesTable).
+    */
   def worldRules(spark: SparkSession, passages: DataFrame): DataFrame = {
     import spark.implicits._
     passages.select("doc_id", "pos", "text").as[(String, Int, String)]
       .mapPartitions(_.flatMap { case (d, p, t) =>
-        rules(t).map { case (name, text, cat) => (d, p, name, text, cat) }
+        extractAll(t)
+          .filter(m => RuleNames.contains(m.patternName))
+          .map(m => (d, p, m.patternName, m.text, m.category))
       }).toDF("doc_id", "pos", "pattern_name", "rule_text", "category")
       .dropDuplicates("doc_id", "pos", "pattern_name", "rule_text")
+  }
+
+  /** Corpus-level rules table — the lore checker's rule cache (reference
+    * checker.py:221-235 over the bible's per-category deduped rules): one
+    * row per distinct lower(rule text).
+    */
+  def rulesTable(spark: SparkSession, passages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    worldRules(spark, passages)
+      .groupBy(lower(col("rule_text")).as("rule_text"))
+      .agg(org.apache.spark.sql.functions.min(col("category")).as("category"))
   }
 }
