@@ -161,9 +161,18 @@ object SparkEntry {
       graft.worldbible.WorldBible.categories(s, Pipeline.textual(s, dir))),
     "q31_worldbible_rules" -> ((s, dir) =>
       graft.worldbible.WorldBible.worldRules(s, Pipeline.textual(s, dir))),
-    "q32_lore_checks" -> ((s, dir) =>
-      graft.lore.Checker.checkRelationships(s,
-        loreClaims.map(graft.lore.Checker.parse), Pipeline.edges(s, dir))),
+    "q32_lore_checks" -> ((s, dir) => {
+      val txt = Pipeline.textual(s, dir)
+      graft.lore.Checker.checkAll(s, loreClaims,
+        Pipeline.edges(s, dir),
+        Pipeline.vertices(s, dir).select("id", "label"),
+        graft.worldbible.WorldBible.rulesTable(s, txt),
+        graft.lore.Temporal.timeline(s, txt),
+        graft.lore.Events.fromPassages(s, txt).toDF())
+    }),
+    "q40_timeline" -> ((s, dir) =>
+      graft.lore.Temporal.timeline(s, Pipeline.textual(s, dir))
+        .select("name", "birth_era", "death_era")),
     // raw-text splitter round trip: re-splitting the reconstructed doc
     // (paragraph-joined spans) must reproduce the span texts exactly
     "q29_split_roundtrip" -> ((s, dir) => {
@@ -177,18 +186,268 @@ object SparkEntry {
     })
   )
 
-  /** Fixed lore-check claim battery (q32): parsed by Checker.parse and
-    * checked against the edge table; the oracle re-derives the expected
-    * verdicts from the same parse results over triple_rows.
+  /** Fixed lore-check claim battery (q32), spanning all seven claim types
+    * of the reference's checker (checker.py:255-296). The oracle is
+    * HAND-WRITTEN: every claim's expected parse (type, subject, predicate,
+    * object, value, era, event sides, negation) is an authored literal in
+    * [[OracleClaim]] below — NOT produced by Checker.parse — and the
+    * verdict is derived in DuckDB from the planted corpus, so a parser or
+    * checker regression cannot go unnoticed (round-1 VERDICT.md issue #1).
     */
   val loreClaims: Seq[String] = Seq(
-    "Gandalf spoke with Bilbo",
-    "Bilbo traveled to Rivendell",
+    // relationship (Q5) with rules fallback (Q10)
+    "Gandalf traveled to Mirkwood",
     "Thorin killed Smaug",
-    "Gandalf never met Saruman",
-    "Frodo visited Bree",
     "Boromir fought Gollum",
-    "Zorro spoke with Gandalf")
+    "Gandalf fought Frodo, not truly",
+    "Gandalf never met Saruman",
+    "Zorro spoke with Gandalf",
+    "Bilbo visited Bree",
+    "Gandalf met Bilbo, perhaps",
+    // entity existence (Q4)
+    "Gandalf is a character",
+    "Rivendell is a place",
+    "Smaug is a wizard",
+    "Zorro is a wizard",
+    // attribute support heuristics (Q10)
+    "Gandalf was born",
+    "Bilbo was weary",
+    // temporal over the E12 timeline (Q6)
+    "Gandalf during the Third Age",
+    "Gandalf during the Fourth Age",
+    "Thorin during the First Age",
+    "Bilbo during the Fourth Age",
+    "Zorro during the Second Age",
+    // location rules scan (Q9)
+    "Moria is near Rivendell",
+    "Zanzibar is in Atlantis",
+    // capability rules scan (Q9)
+    "Gandalf can wield magic",
+    // event ordering (Q7)
+    "Gandalf arrived Moria before Balin",
+    "Smaug arrived Erebor before Bilbo",
+    "Gandalf killed Frodo before Thorin",
+    "Gandalf arrived Hobbiton after Bilbo",
+    // unparseable -> general rules fallback
+    "Perhaps beyond the misty mountains")
+
+  /** Hand-authored expected parse of one battery claim (the q32 oracle's
+    * ground truth; see [[loreClaims]]).
+    */
+  private[graft] final case class OracleClaim(
+      text: String,
+      ctype: String,
+      subj: String = null,
+      et: String = null, // mapped edge type (relationship)
+      obj: String = null,
+      value: String = null,
+      negated: Boolean = false,
+      eraOrd: Int = -1, // claimed era order (temporal)
+      a1: String = null, stem1: String = null, p1: String = null,
+      a2: String = null, stem2: String = null, p2: String = null,
+      claimed: String = null) // claimed ordering (event_order)
+
+  /** The authored parses, 1:1 with [[loreClaims]]. */
+  private[graft] val oracleClaims: Seq[OracleClaim] = Seq(
+    OracleClaim("Gandalf traveled to Mirkwood", "relationship",
+      subj = "gandalf", et = "TRAVELED_TO", obj = "mirkwood"),
+    OracleClaim("Thorin killed Smaug", "relationship",
+      subj = "thorin", et = "KILLED", obj = "smaug"),
+    OracleClaim("Boromir fought Gollum", "relationship",
+      subj = "boromir", et = "FOUGHT", obj = "gollum"),
+    // the parser's two-word subject group stops at the comma; "not truly"
+    // sets the negation flag -> INVALID on positive evidence
+    OracleClaim("Gandalf fought Frodo, not truly", "relationship",
+      subj = "gandalf", et = "FOUGHT", obj = "frodo", negated = true),
+    // reference quirk: the greedy subject group swallows "never"
+    OracleClaim("Gandalf never met Saruman", "relationship",
+      subj = "gandalf never", et = "INTERACTED_WITH", obj = "saruman",
+      negated = true),
+    OracleClaim("Zorro spoke with Gandalf", "relationship",
+      subj = "zorro", et = "SPOKE_TO", obj = "gandalf"),
+    // reference quirk: visited maps to TRAVELED_TO (checker.py:442)
+    OracleClaim("Bilbo visited Bree", "relationship",
+      subj = "bilbo", et = "TRAVELED_TO", obj = "bree"),
+    OracleClaim("Gandalf met Bilbo, perhaps", "relationship",
+      subj = "gandalf", et = "INTERACTED_WITH", obj = "bilbo"),
+    OracleClaim("Gandalf is a character", "entity_exists",
+      subj = "gandalf", value = "character"),
+    OracleClaim("Rivendell is a place", "entity_exists",
+      subj = "rivendell", value = "place"),
+    OracleClaim("Smaug is a wizard", "entity_exists",
+      subj = "smaug", value = "wizard"),
+    OracleClaim("Zorro is a wizard", "entity_exists",
+      subj = "zorro", value = "wizard"),
+    OracleClaim("Gandalf was born", "attribute",
+      subj = "gandalf", value = "born"),
+    OracleClaim("Bilbo was weary", "attribute",
+      subj = "bilbo", value = "weary"),
+    // era orders use the full scale incl. tree years (temporal.py:47-58):
+    // FIRST=2, SECOND=3, THIRD=4, FOURTH=5
+    OracleClaim("Gandalf during the Third Age", "temporal",
+      subj = "gandalf", eraOrd = 4),
+    OracleClaim("Gandalf during the Fourth Age", "temporal",
+      subj = "gandalf", eraOrd = 5),
+    OracleClaim("Thorin during the First Age", "temporal",
+      subj = "thorin", eraOrd = 2),
+    OracleClaim("Bilbo during the Fourth Age", "temporal",
+      subj = "bilbo", eraOrd = 5),
+    OracleClaim("Zorro during the Second Age", "temporal",
+      subj = "zorro", eraOrd = 3),
+    OracleClaim("Moria is near Rivendell", "location",
+      subj = "moria", obj = "rivendell"),
+    OracleClaim("Zanzibar is in Atlantis", "location",
+      subj = "zanzibar", obj = "atlantis"),
+    OracleClaim("Gandalf can wield magic", "capability",
+      subj = "gandalf", value = "wield magic"),
+    OracleClaim("Gandalf arrived Moria before Balin", "event_order",
+      a1 = "gandalf", stem1 = "arriv", p1 = "moria",
+      a2 = "balin", stem2 = "arriv", p2 = "moria", claimed = "before"),
+    OracleClaim("Smaug arrived Erebor before Bilbo", "event_order",
+      a1 = "smaug", stem1 = "arriv", p1 = "erebor",
+      a2 = "bilbo", stem2 = "arriv", p2 = "erebor", claimed = "before"),
+    OracleClaim("Gandalf killed Frodo before Thorin", "event_order",
+      a1 = "gandalf", stem1 = "kill", p1 = "frodo",
+      a2 = "thorin", stem2 = "kill", p2 = "frodo", claimed = "before"),
+    OracleClaim("Gandalf arrived Hobbiton after Bilbo", "event_order",
+      a1 = "gandalf", stem1 = "arriv", p1 = "hobbiton",
+      a2 = "bilbo", stem2 = "arriv", p2 = "hobbiton", claimed = "after"),
+    OracleClaim("Perhaps beyond the misty mountains", "unknown"))
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  private val eraOrdSql: String => String = col =>
+    s"""CASE $col WHEN 'BEFORE_TIME' THEN 0 WHEN 'YEARS_OF_TREES' THEN 1
+       | WHEN 'FIRST_AGE' THEN 2 WHEN 'SECOND_AGE' THEN 3
+       | WHEN 'THIRD_AGE' THEN 4 WHEN 'FOURTH_AGE' THEN 5 END""".stripMargin
+      .replace("\n", "")
+
+  /** One oracle SQL branch per battery claim — the verdict derivation per
+    * claim type mirrors Checker's semantics over the planted-data CTEs.
+    */
+  private def claimBranchSql(c: OracleClaim): String = c.ctype match {
+    case "relationship" =>
+      val verdict = if (c.negated) "INVALID" else "VALID"
+      s"""SELECT '${sq(c.text)}' AS claim, 'relationship' AS claim_type,
+         |  CASE WHEN ev > 0 THEN '$verdict'
+         |       WHEN rev > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END AS status,
+         |  CAST(CASE WHEN ev > 0 THEN ev ELSE rev END AS BIGINT) AS evidence,
+         |  CAST(NULL AS VARCHAR) AS suggestion
+         |FROM (SELECT
+         |  (SELECT count(*) FROM triple_rows WHERE predicate = '${c.et}'
+         |     AND subject_id LIKE '%${sq(c.subj)}%'
+         |     AND object_id LIKE '%${sq(c.obj)}%') AS ev,
+         |  (SELECT count(*) FROM rule_rows
+         |     WHERE rule_text LIKE '%${sq(c.subj)}%'
+         |        OR rule_text LIKE '%${sq(c.obj)}%') AS rev)""".stripMargin
+    case "entity_exists" =>
+      s"""SELECT '${sq(c.text)}', 'entity_exists',
+         |  CASE WHEN tm > 0 THEN 'VALID' ELSE 'UNKNOWN' END,
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |FROM (SELECT
+         |  (SELECT count(*) FROM vertex_rows
+         |     WHERE id LIKE '%${sq(c.subj)}%') AS ev,
+         |  (SELECT count(*) FROM vertex_rows
+         |     WHERE id LIKE '%${sq(c.subj)}%'
+         |       AND label LIKE '%${sq(c.value)}%') AS tm)""".stripMargin
+    case "attribute" =>
+      val ev =
+        if (c.negated) "0"
+        else s"""(SELECT count(*) FROM rule_rows
+                |   WHERE rule_text LIKE '%${sq(c.subj)}%'
+                |     AND rule_text LIKE '%${sq(c.value)}%')""".stripMargin
+      s"""SELECT '${sq(c.text)}', 'attribute',
+         |  CASE WHEN ev > 0 THEN 'VALID' ELSE 'UNKNOWN' END,
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |FROM (SELECT $ev AS ev)""".stripMargin
+    case "temporal" =>
+      s"""SELECT '${sq(c.text)}', 'temporal',
+         |  CASE WHEN cnt = 0 THEN 'UNKNOWN'
+         |       WHEN lo IS NOT NULL AND ${c.eraOrd} < lo THEN 'INVALID'
+         |       WHEN hi IS NOT NULL AND ${c.eraOrd} > hi THEN 'INVALID'
+         |       WHEN lo IS NOT NULL AND hi IS NOT NULL THEN 'VALID'
+         |       ELSE 'UNKNOWN' END,
+         |  CAST(cnt AS BIGINT), CAST(NULL AS VARCHAR)
+         |FROM (SELECT count(*) AS cnt,
+         |        any_value(${eraOrdSql("birth_era")}) AS lo,
+         |        any_value(${eraOrdSql("death_era")}) AS hi
+         |      FROM timeline_rows WHERE lower(name) = '${sq(c.subj)}')""".stripMargin
+    case "capability" =>
+      s"""SELECT '${sq(c.text)}', 'capability',
+         |  CASE WHEN ev1 + ev2 > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END,
+         |  CAST(ev1 + ev2 AS BIGINT), CAST(NULL AS VARCHAR)
+         |FROM (SELECT
+         |  (SELECT count(*) FROM rule_rows
+         |     WHERE rule_text LIKE '%${sq(c.subj)}%'
+         |        OR rule_text LIKE '%${sq(c.value)}%') AS ev1,
+         |  (SELECT count(*) FROM rule_rows
+         |     WHERE rule_text LIKE '%${sq(c.subj)}%'
+         |        OR rule_text LIKE '%can%') AS ev2)""".stripMargin
+    case "location" | "unknown" =>
+      val terms = Seq(Option(c.subj), Option(c.obj), Option(c.value)).flatten
+      val ev =
+        if (terms.isEmpty) "0"
+        else s"""(SELECT count(*) FROM rule_rows WHERE ${terms
+          .map(t => s"rule_text LIKE '%${sq(t)}%'").mkString(" OR ")})"""
+      s"""SELECT '${sq(c.text)}', '${c.ctype}',
+         |  CASE WHEN ev > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END,
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |FROM (SELECT $ev AS ev)""".stripMargin
+    case "event_order" =>
+      def cond(a: String, st: String, p: String): String =
+        s"""(lower(agent) LIKE '%${sq(a)}%'
+           |   OR '${sq(a)}' LIKE '%' || lower(agent) || '%')
+           |  AND lower(action) LIKE '%${sq(st)}%'
+           |  AND (pat LIKE '%${sq(p)}%'
+           |       OR '${sq(p)}' LIKE '%' || pat || '%')""".stripMargin
+      s"""SELECT '${sq(c.text)}', 'event_order',
+         |  CASE WHEN m1 = 0 OR m2 = 0 THEN 'UNKNOWN'
+         |       WHEN act IS NULL THEN 'UNKNOWN'
+         |       WHEN act = '${c.claimed}' THEN 'VALID'
+         |       ELSE 'INVALID' END,
+         |  CAST(m1 + m2 AS BIGINT),
+         |  CASE WHEN m1 > 0 AND m2 > 0 AND act IS NOT NULL
+         |            AND act <> '${c.claimed}'
+         |       THEN 'Did you mean: ' ||
+         |            replace('${sq(c.text)}', '${c.claimed}', act) || '?'
+         |  END
+         |FROM (SELECT m1, m2,
+         |    CASE WHEN e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
+         |           THEN CASE WHEN e1 < e2 THEN 'before' ELSE 'after' END
+         |         WHEN y1 IS NOT NULL AND y2 IS NOT NULL AND y1 <> y2
+         |           THEN CASE WHEN y1 < y2 THEN 'before' ELSE 'after' END
+         |    END AS act
+         |  FROM (SELECT
+         |      count(*) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS m1,
+         |      arg_min(eord, k) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS e1,
+         |      arg_min(year, k) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS y1,
+         |      count(*) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS m2,
+         |      arg_min(eord, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS e2,
+         |      arg_min(year, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS y2
+         |    FROM (SELECT *, ${eraOrdSql("era")} AS eord,
+         |            doc_id || '#' || lpad(CAST(pos AS VARCHAR), 6, '0') AS k,
+         |            regexp_replace(lower(patient), '^(the|a|an) ', '') AS pat
+         |          FROM event_rows)))""".stripMargin
+  }
+
+  /** The full hand-written q32 oracle. */
+  private def loreOracleSql: String = {
+    val vertexCte =
+      """vertex_rows AS (
+        |  SELECT DISTINCT coalesce(canonical_id,
+        |      'new_' || regexp_replace(lower(trim(text)), '[^a-z0-9]+', '_', 'g')) AS id,
+        |    entity_type AS label
+        |  FROM entity_rows
+        |)""".stripMargin
+    Oracles.overSyn(
+      s""", ${Oracles.entityRowsCte},
+         |${Oracles.tripleRowsCte},
+         |${Oracles.ruleRowsCte},
+         |${Oracles.eventRowsCte},
+         |${Oracles.timelineCte},
+         |$vertexCte
+         |${oracleClaims.map(claimBranchSql).mkString("\nUNION ALL\n")}""".stripMargin)
+  }
 
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -455,22 +714,10 @@ object SparkEntry {
            |SELECT doc_id, pos, 'capability',
            |       ${Oracles.eSubj} || ' cannot wield such magic openly', 'magic'
            |FROM syn WHERE m = 26 AND v % 2 = 1""".stripMargin),
-      "q32_lore_checks" -> withTriples(loreClaims.map { text =>
-        val c = graft.lore.Checker.parse(text)
-        val et = graft.lore.Checker.PredicateToEdgeType.getOrElse(
-          c.predicate.get.toLowerCase,
-          c.predicate.get.toUpperCase.replace(" ", "_"))
-        val subj = c.subject.get.toLowerCase.replace("'", "''")
-        val obj = c.obj.get.toLowerCase.replace("'", "''")
-        val verdict = if (c.negated) "INVALID" else "VALID"
-        s"""  SELECT '${text.replace("'", "''")}' AS claim,
-           |    CASE WHEN ev > 0 THEN '$verdict' ELSE 'UNSUPPORTED' END AS status,
-           |    ev AS evidence
-           |  FROM (SELECT count(*) AS ev FROM triple_rows
-           |        WHERE predicate = '$et'
-           |          AND subject_id LIKE '%$subj%'
-           |          AND object_id LIKE '%$obj%')""".stripMargin
-      }.mkString("\nUNION ALL\n")),
+      "q32_lore_checks" -> loreOracleSql,
+      "q40_timeline" -> Oracles.overSyn(
+        s", ${Oracles.timelineCte}\n" +
+          "SELECT name, birth_era, death_era FROM timeline_rows"),
       "q29_split_roundtrip" -> Oracles.overSyn(
         """SELECT doc_id,
           |       'p_' || doc_id || '_c1_p' || k || '_s1' AS passage_id,

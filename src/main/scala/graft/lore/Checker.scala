@@ -1,24 +1,47 @@
 package graft.lore
 
 import java.util.regex.Pattern
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A structured claim. Reference: ParsedClaim (lore/parser.py). */
+/** A structured claim. Reference: ParsedClaim (lore/parser.py:28-65). */
 final case class ParsedClaim(
     original: String,
-    claimType: String, // RELATIONSHIP | ENTITY_EXISTS | ATTRIBUTE | LOCATION | CAPABILITY | EVENT_ORDER | UNKNOWN
+    claimType: String, // RELATIONSHIP | ENTITY_EXISTS | ATTRIBUTE | TEMPORAL | LOCATION | CAPABILITY | EVENT_ORDER | UNKNOWN
     subject: Option[String] = None,
     predicate: Option[String] = None,
     obj: Option[String] = None,
     attribute: Option[String] = None,
     value: Option[String] = None,
+    timePeriod: Option[String] = None,
+    event1Agent: Option[String] = None,
+    event1Action: Option[String] = None,
+    event1Patient: Option[String] = None,
+    event2Agent: Option[String] = None,
+    event2Action: Option[String] = None,
+    event2Patient: Option[String] = None,
+    ordering: Option[String] = None,
     negated: Boolean = false,
     uncertain: Boolean = false)
 
 /** Lore-consistency query layer (reference lore/parser.py + checker.py,
-  * SURVEY.md §2.13): regex claim parsing -> parameterized DataFrame
-  * queries over the edge/vertex tables.
+  * SURVEY.md §2.13): deterministic regex claim parsing routed (Q3,
+  * checker.py:255-296) to parameterized DataFrame queries over the engine's
+  * edge / vertex / rules / timeline / event tables.
+  *
+  * Documented deviations from the reference's deterministic path (both are
+  * stand-ins for behavior the reference delegates to its LLM parse,
+  * parser.py:303-354):
+  *  - the location pattern is tried BEFORE the is/was-attribute pattern
+  *    (in the reference the attribute regex shadows "X is in Y" and
+  *    LOCATION is only reachable via the LLM);
+  *  - a claim whose only signal is a time period gets its subject from the
+  *    leading capitalized token run (the reference leaves subject unset and
+  *    relies on the LLM, making the deterministic temporal check a no-op).
+  * And one extension: a negated relationship claim with positive edge
+  * evidence is INVALID (the reference ignores `negated` in
+  * _check_relationship; flipping the verdict is strictly more useful and
+  * exercised by the oracle battery).
   */
 object Checker {
 
@@ -55,19 +78,48 @@ object Checker {
     "is son of" -> "CHILD_OF",
     "is daughter of" -> "CHILD_OF")
 
+  /** TIME_PERIODS (parser.py:82-86). */
+  val TimePeriods: Seq[String] = Seq(
+    "First Age", "Second Age", "Third Age", "Fourth Age",
+    "Years of the Trees", "Years of the Sun",
+    "Elder Days", "Younger Days")
+
   private val Negation = Pattern.compile(
     """\b(not|never|didn't|did not|wasn't|was not|isn't|is not|aren't|are not)\b""",
     Pattern.CASE_INSENSITIVE)
   private val Uncertainty = Pattern.compile(
     """\b(might|may|possibly|perhaps|probably|could have|might have)\b""",
     Pattern.CASE_INSENSITIVE)
+  private val TimePattern = Pattern.compile(
+    s"""(?:in|during|of)\\s+(?:the\\s+)?(${TimePeriods.map(Pattern.quote).mkString("|")})""",
+    Pattern.CASE_INSENSITIVE)
+  // simple event-order pattern (parser.py:184-201)
+  private val EventOrderPattern = Pattern.compile(
+    """([A-Z]\w+)\s+(found|lost|took|gave|stole|killed|died|created|forged|destroyed|met|married|arrived|left)\s+(?:the\s+)?(\w+(?:\s+\w+)?)\s+(before|after)\s+([A-Z]\w+)""",
+    Pattern.CASE_INSENSITIVE)
+  private val LeadingName = Pattern.compile(
+    """^([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""")
 
   /** ClaimParser.parse (Q1, parser.py:136-250), deterministic path. */
   def parse(text: String): ParsedClaim = {
     val negated = Negation.matcher(text).find()
     val uncertain = Uncertainty.matcher(text).find()
-    val base = ParsedClaim(text, "UNKNOWN", negated = negated,
-      uncertain = uncertain)
+    val tm = TimePattern.matcher(text)
+    val timePeriod = if (tm.find()) Some(tm.group(1)) else None
+    val base = ParsedClaim(text, "UNKNOWN", timePeriod = timePeriod,
+      negated = negated, uncertain = uncertain)
+
+    // event ordering: "X VERB Y before/after Z" (same action implied for Z)
+    val em = EventOrderPattern.matcher(text)
+    if (em.find())
+      return base.copy(claimType = "EVENT_ORDER",
+        event1Agent = Some(em.group(1)),
+        event1Action = Some(em.group(2)),
+        event1Patient = Some(em.group(3)),
+        ordering = Some(em.group(4).toLowerCase),
+        event2Agent = Some(em.group(5)),
+        event2Action = Some(em.group(2)),
+        event2Patient = Some(em.group(3)))
 
     // relationship verbs (first matching verb in list order wins)
     RelationshipVerbs.foreach { verb =>
@@ -89,15 +141,7 @@ object Checker {
         subject = Some(isA.group(1).trim), attribute = Some("type"),
         value = Some(isA.group(2).trim))
 
-    // "is/was <adjective>"
-    val attr = Pattern.compile("""(\w+(?:\s+\w+)?)\s+(?:is|was)\s+(\w+)""",
-      Pattern.CASE_INSENSITIVE).matcher(text)
-    if (attr.find())
-      return base.copy(claimType = "ATTRIBUTE",
-        subject = Some(attr.group(1).trim), attribute = Some("description"),
-        value = Some(attr.group(2).trim))
-
-    // location
+    // location — tried before the is/was-attribute pattern (see object doc)
     val loc = Pattern.compile(
       """(\w+(?:\s+\w+)?)\s+is\s+(?:in|at|near)\s+(?:the\s+)?(\w+(?:\s+\w+)?)""",
       Pattern.CASE_INSENSITIVE).matcher(text)
@@ -105,6 +149,14 @@ object Checker {
       return base.copy(claimType = "LOCATION",
         subject = Some(loc.group(1).trim), predicate = Some("located_in"),
         obj = Some(loc.group(2).trim))
+
+    // "is/was <adjective>"
+    val attr = Pattern.compile("""(\w+(?:\s+\w+)?)\s+(?:is|was)\s+(\w+)""",
+      Pattern.CASE_INSENSITIVE).matcher(text)
+    if (attr.find())
+      return base.copy(claimType = "ATTRIBUTE",
+        subject = Some(attr.group(1).trim), attribute = Some("description"),
+        value = Some(attr.group(2).trim))
 
     // capability
     val cap = Pattern.compile("""(\w+(?:\s+\w+)?)\s+can\s+(\w+(?:\s+\w+)?)""",
@@ -114,20 +166,57 @@ object Checker {
         subject = Some(cap.group(1).trim), attribute = Some("capability"),
         value = Some(cap.group(2).trim))
 
+    // time period with nothing else parsed -> TEMPORAL; subject from the
+    // leading capitalized run (see object doc)
+    if (timePeriod.isDefined) {
+      val lm = LeadingName.matcher(text)
+      val subject = if (lm.find()) Some(lm.group(1)) else None
+      return base.copy(claimType = "TEMPORAL", subject = subject)
+    }
+
     base
   }
 
-  /** Q5 relationship check for a batch of claims, as one join against the
-    * edge table: evidence = edge count between substring-matched endpoints
-    * of the mapped type. Status: VALID if evidence and not negated,
-    * INVALID if evidence and negated, else UNSUPPORTED (checker.py:391-505).
+  // -------------------------------------------------------------------
+  // Checkers (Q3-Q10). All take broadcast-sized claim batches and produce
+  // (claim, claim_type, status, evidence, suggestion) rows.
+  // -------------------------------------------------------------------
+
+  private val OutCols = Seq("claim", "claim_type", "status", "evidence",
+    "suggestion")
+
+  private def stem(v: String): String =
+    v.toLowerCase.stripSuffix("ed").stripSuffix("s")
+
+  /** Rule-cache evidence: for each (claim, terms) count rules whose text
+    * contains ANY of the terms — the reference's `_find_relevant_rules`
+    * (checker.py:982-993). Result: (claim, rule_evidence).
+    */
+  private def ruleEvidence(
+      spark: SparkSession,
+      terms: Seq[(String, Seq[String])], // claim -> search terms
+      rules: DataFrame): DataFrame = {
+    import spark.implicits._
+    val t = terms.toDF("claim", "terms")
+    broadcast(t).join(rules,
+        exists(col("terms"), x => col("rule_text").contains(x)), "left")
+      .groupBy("claim")
+      .agg(count(col("rule_text")).as("rule_evidence"))
+  }
+
+  /** Q5 relationship check + Q10 rules fallback: VALID on edge evidence
+    * (INVALID when negated — see object doc); otherwise the reference's
+    * _check_against_rules (PLAUSIBLE on any term-relevant rule, else
+    * UNKNOWN).
     */
   def checkRelationships(
       spark: SparkSession,
       claims: Seq[ParsedClaim],
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame,
+      rules: DataFrame): DataFrame = {
     import spark.implicits._
     val rel = claims.filter(_.claimType == "RELATIONSHIP")
+    if (rel.isEmpty) return emptyOut(spark)
     val cdf = rel.map { c =>
       val et = PredicateToEdgeType.getOrElse(c.predicate.get.toLowerCase,
         c.predicate.get.toUpperCase.replace(" ", "_"))
@@ -140,14 +229,262 @@ object Checker {
         col("src").contains(col("subj")) &&
         col("dst").contains(col("obj")),
       "left")
-    joined.groupBy("claim", "negated")
+    val direct = joined.groupBy("claim", "negated")
       .agg(sum(when(col("src").isNotNull, col("mention_count"))
-        .otherwise(0L)).as("evidence"))
-      .select(col("claim"),
-        when(col("evidence") > 0 && !col("negated"), "VALID")
-          .when(col("evidence") > 0 && col("negated"), "INVALID")
-          .otherwise("UNSUPPORTED").as("status"),
-        col("evidence"))
+        .otherwise(0L)).as("edge_evidence"))
+    val fallback = ruleEvidence(spark,
+      rel.map(c => c.original ->
+        Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase)), rules)
+    direct.join(fallback, Seq("claim"), "left")
+      .select(col("claim"), lit("relationship").as("claim_type"),
+        when(col("edge_evidence") > 0 && !col("negated"), "VALID")
+          .when(col("edge_evidence") > 0 && col("negated"), "INVALID")
+          .when(coalesce(col("rule_evidence"), lit(0L)) > 0, "PLAUSIBLE")
+          .otherwise("UNKNOWN").as("status"),
+        when(col("edge_evidence") > 0, col("edge_evidence"))
+          .otherwise(coalesce(col("rule_evidence"), lit(0L))).as("evidence"),
+        lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q4 entity-existence check (checker.py:310-350): VALID when the claimed
+    * type is contained in a matching vertex's label; UNKNOWN when the
+    * entity exists with an unconfirmed type or is absent.
+    */
+  def checkEntities(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      vertices: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ent = claims.filter(c =>
+      c.claimType == "ENTITY_EXISTS" && c.subject.isDefined)
+    if (ent.isEmpty) return emptyOut(spark)
+    val cdf = ent.map(c => (c.original, c.subject.get.toLowerCase,
+      c.value.getOrElse("").toLowerCase)).toDF("claim", "subj", "want_type")
+    broadcast(cdf).join(vertices,
+      col("id").contains(col("subj")), "left")
+      .groupBy("claim", "want_type")
+      .agg(
+        count(col("id")).as("evidence"),
+        sum(when(col("label").contains(col("want_type")), 1L).otherwise(0L))
+          .as("type_matches"))
+      .select(col("claim"), lit("entity_exists").as("claim_type"),
+        when(col("type_matches") > 0, "VALID")
+          .otherwise("UNKNOWN").as("status"),
+        col("evidence"),
+        lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q10/_check_attribute (checker.py:352-389 + 995-1005): a rule supports
+    * the claim iff its text contains both subject and value and the claim
+    * is not negated; VALID on any support, else UNKNOWN. (The contradiction
+    * branch is unreachable in the reference's deterministic path — the
+    * supports check fires first on exactly the same condition.)
+    */
+  def checkAttributes(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      rules: DataFrame): DataFrame = {
+    import spark.implicits._
+    val att = claims.filter(c => c.claimType == "ATTRIBUTE" &&
+      c.subject.isDefined && c.value.isDefined)
+    if (att.isEmpty) return emptyOut(spark)
+    val cdf = att.map(c => (c.original, c.subject.get.toLowerCase,
+      c.value.get.toLowerCase, c.negated))
+      .toDF("claim", "subj", "val", "negated")
+    broadcast(cdf).join(rules,
+        col("rule_text").contains(col("subj")) &&
+          col("rule_text").contains(col("val")) && !col("negated"), "left")
+      .groupBy("claim")
+      .agg(count(col("rule_text")).as("evidence"))
+      .select(col("claim"), lit("attribute").as("claim_type"),
+        when(col("evidence") > 0, "VALID").otherwise("UNKNOWN").as("status"),
+        col("evidence"),
+        lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q6 temporal check (checker.py:634-710) over the E12 timeline:
+    * alive_during tri-state -> VALID / INVALID / UNKNOWN.
+    */
+  def checkTemporal(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      timeline: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tem = claims.filter(c => c.claimType == "TEMPORAL" &&
+      c.subject.isDefined && c.timePeriod.isDefined)
+    if (tem.isEmpty) return emptyOut(spark)
+    val cdf = tem.map { c =>
+      (c.original, c.subject.get.toLowerCase,
+        Temporal.eraFromText(c.timePeriod.get).getOrElse("UNKNOWN"))
+    }.toDF("claim", "subj", "era")
+    val joined = broadcast(cdf).join(timeline,
+      lower(col("name")) === col("subj"), "left")
+    val e = Temporal.eraOrderCol(col("era"))
+    val lo = Temporal.eraOrderCol(col("birth_era"))
+    val hi = Temporal.eraOrderCol(col("death_era"))
+    val alive = when(lo.isNotNull && e < lo, lit(false))
+      .when(hi.isNotNull && e > hi, lit(false))
+      .when(lo.isNotNull && hi.isNotNull && e.between(lo, hi), lit(true))
+      .otherwise(lit(null).cast("boolean"))
+    joined
+      .withColumn("alive", when(col("name").isNotNull, alive))
+      .groupBy("claim")
+      .agg(count(col("name")).as("evidence"),
+        min(col("alive")).as("alive_min"),
+        max(col("alive")).as("alive_max"))
+      .select(col("claim"), lit("temporal").as("claim_type"),
+        when(col("alive_min") === true, "VALID")
+          .when(col("alive_max") === false, "INVALID")
+          .otherwise("UNKNOWN").as("status"),
+        col("evidence"),
+        lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q9 capability check (checker.py:712-730): PLAUSIBLE on any rule
+    * relevant to (subject | value) or (subject | "can"); evidence counts
+    * both scans, duplicates retained, exactly as the reference extends its
+    * list.
+    */
+  def checkCapabilities(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      rules: DataFrame): DataFrame = {
+    val cap = claims.filter(c => c.claimType == "CAPABILITY" &&
+      c.subject.isDefined && c.value.isDefined)
+    if (cap.isEmpty) return emptyOut(spark)
+    val scan1 = ruleEvidence(spark, cap.map(c =>
+      c.original -> Seq(c.subject.get.toLowerCase, c.value.get.toLowerCase)),
+      rules)
+    val scan2 = ruleEvidence(spark, cap.map(c =>
+      c.original -> Seq(c.subject.get.toLowerCase, "can")), rules)
+      .withColumnRenamed("rule_evidence", "rule_evidence2")
+    scan1.join(scan2, Seq("claim"))
+      .select(col("claim"), lit("capability").as("claim_type"),
+        when(col("rule_evidence") + col("rule_evidence2") > 0, "PLAUSIBLE")
+          .otherwise("UNKNOWN").as("status"),
+        (col("rule_evidence") + col("rule_evidence2")).as("evidence"),
+        lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q9 location + general rules fallback (checker.py:732-734, 894-918):
+    * PLAUSIBLE when any rule mentions any of subject/object/value.
+    */
+  def checkAgainstRules(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      rules: DataFrame,
+      claimType: String): DataFrame = {
+    val sel = claims.filter(c =>
+      (if (claimType == "LOCATION") c.claimType == "LOCATION"
+       else c.claimType == "UNKNOWN"))
+    if (sel.isEmpty) return emptyOut(spark)
+    val ev = ruleEvidence(spark, sel.map(c => c.original ->
+      Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase)), rules)
+    ev.select(col("claim"), lit(claimType.toLowerCase).as("claim_type"),
+      when(col("rule_evidence") > 0, "PLAUSIBLE")
+        .otherwise("UNKNOWN").as("status"),
+      col("rule_evidence").as("evidence"),
+      lit(null).cast("string").as("suggestion"))
+  }
+
+  /** Q7 event-order check (checker.py:736-813): find both events with the
+    * E7 fuzzy filter, order the first match of each (first = minimum
+    * (doc_id, pos), the engine's deterministic stand-in for the reference's
+    * extraction-order events1[0]), compare eras then years (E8 with an
+    * empty relations table — the deterministic path extracts no explicit
+    * event relations, and E9-inferred relations agree with the year
+    * ordering by construction). INVALID verdicts carry the reference's
+    * "Did you mean" suggestion.
+    */
+  def checkEventOrder(
+      spark: SparkSession,
+      claims: Seq[ParsedClaim],
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val evc = claims.filter(c => c.claimType == "EVENT_ORDER")
+    if (evc.isEmpty) return emptyOut(spark)
+    val sides = evc.flatMap { c =>
+      Seq(
+        (c.original, 1, c.event1Agent.map(_.toLowerCase).orNull,
+          c.event1Action.map(stem).orNull,
+          c.event1Patient.map(_.toLowerCase.replaceFirst("^(the|a|an) ", "")).orNull),
+        (c.original, 2, c.event2Agent.map(_.toLowerCase).orNull,
+          c.event2Action.map(stem).orNull,
+          c.event2Patient.map(_.toLowerCase.replaceFirst("^(the|a|an) ", "")).orNull))
+    }.toDF("claim", "side", "c_agent", "c_stem", "c_patient")
+
+    val evPatient = regexp_replace(lower(col("patient")), "^(the|a|an) ", "")
+    val matched = broadcast(sides).join(events,
+      (col("c_agent").isNull ||
+        lower(col("agent")).contains(col("c_agent")) ||
+        col("c_agent").contains(lower(col("agent")))) &&
+      (col("c_stem").isNull || lower(col("action")).contains(col("c_stem"))) &&
+      (col("c_patient").isNull ||
+        evPatient.contains(col("c_patient")) ||
+        col("c_patient").contains(evPatient)),
+      "left")
+    val seen = concat(col("doc_id"), lit("#"),
+      lpad(col("pos").cast("string"), 6, "0"))
+    val firsts = matched.groupBy("claim", "side")
+      .agg(count(col("event_id")).as("matches"),
+        min_by(col("era"), seen).as("era"),
+        min_by(col("year"), seen).as("year"))
+    val s1 = firsts.filter(col("side") === 1)
+      .select(col("claim"), col("matches").as("m1"),
+        Temporal.eraOrderCol(col("era")).as("e1"), col("year").as("y1"))
+    val s2 = firsts.filter(col("side") === 2)
+      .select(col("claim"), col("matches").as("m2"),
+        Temporal.eraOrderCol(col("era")).as("e2"), col("year").as("y2"))
+    val ords = evc.map(c => (c.original, c.ordering.getOrElse("before")))
+      .toDF("claim", "claimed")
+    val actual = when(col("e1").isNotNull && col("e2").isNotNull &&
+        col("e1") =!= col("e2"),
+        when(col("e1") < col("e2"), "before").otherwise("after"))
+      .when(col("y1").isNotNull && col("y2").isNotNull &&
+        col("y1") =!= col("y2"),
+        when(col("y1") < col("y2"), "before").otherwise("after"))
+      .otherwise(lit(null).cast("string"))
+    s1.join(s2, Seq("claim")).join(broadcast(ords), Seq("claim"))
+      .withColumn("actual", actual)
+      .select(col("claim"), lit("event_order").as("claim_type"),
+        when(col("m1") === 0 || col("m2") === 0, "UNKNOWN")
+          .when(col("actual").isNull, "UNKNOWN")
+          .when(col("actual") === col("claimed"), "VALID")
+          .otherwise("INVALID").as("status"),
+        (col("m1") + col("m2")).as("evidence"),
+        when(col("m1") > 0 && col("m2") > 0 && col("actual").isNotNull &&
+            col("actual") =!= col("claimed"),
+          concat(lit("Did you mean: "),
+            regexp_replace(col("claim"), col("claimed"), col("actual")),
+            lit("?"))).as("suggestion"))
+  }
+
+  private def emptyOut(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, Long, String)]
+      .toDF(OutCols: _*)
+  }
+
+  /** Q3 check() routing (checker.py:255-296): parse every claim, dispatch
+    * to its checker, union the verdicts.
+    */
+  def checkAll(
+      spark: SparkSession,
+      claimTexts: Seq[String],
+      edges: DataFrame,
+      vertices: DataFrame,
+      rules: DataFrame,
+      timeline: DataFrame,
+      events: DataFrame): DataFrame = {
+    val claims = claimTexts.map(parse)
+    checkRelationships(spark, claims, edges, rules)
+      .unionByName(checkEntities(spark, claims, vertices))
+      .unionByName(checkAttributes(spark, claims, rules))
+      .unionByName(checkTemporal(spark, claims, timeline))
+      .unionByName(checkCapabilities(spark, claims, rules))
+      .unionByName(checkAgainstRules(spark, claims, rules, "LOCATION"))
+      .unionByName(checkEventOrder(spark, claims, events))
+      .unionByName(checkAgainstRules(spark, claims, rules, "UNKNOWN"))
   }
 
   /** Q8 confidence blend (checker.py:27-56): base by evidence kind x
@@ -166,29 +503,5 @@ object Checker {
       if (ta.isEmpty || tb.isEmpty) 0.0
       else (ta intersect tb).size.toDouble / (ta union tb).size
     math.max(0.5, math.min(0.95, base * sim))
-  }
-
-  /** Q4 entity-existence check against the vertex table. */
-  def checkEntities(
-      spark: SparkSession,
-      claims: Seq[ParsedClaim],
-      vertices: DataFrame): DataFrame = {
-    import spark.implicits._
-    val ent = claims.filter(c =>
-      c.claimType == "ENTITY_EXISTS" && c.subject.isDefined)
-    val cdf = ent.map(c => (c.original, c.subject.get.toLowerCase,
-      c.value.getOrElse("").toLowerCase)).toDF("claim", "subj", "want_type")
-    broadcast(cdf).join(vertices,
-      col("id").contains(col("subj")), "left")
-      .groupBy("claim", "want_type")
-      .agg(
-        count(col("id")).as("evidence"),
-        sum(when(col("label").contains(col("want_type")), 1L).otherwise(0L))
-          .as("type_matches"))
-      .select(col("claim"),
-        when(col("type_matches") > 0, "VALID")
-          .when(col("evidence") > 0, "PLAUSIBLE")
-          .otherwise("UNSUPPORTED").as("status"),
-        col("evidence"))
   }
 }

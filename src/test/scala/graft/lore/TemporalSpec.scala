@@ -1,0 +1,84 @@
+package graft.lore
+
+import graft.SparkSpec
+
+/** E12 TemporalExtractor patterns + E13 happened_before
+  * (lore/temporal.py:256-346, 187-218).
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("era parse (temporal.py:27-45)") {
+    assert(Temporal.eraFromText("the First Age").contains("FIRST_AGE"))
+    assert(Temporal.eraFromText("Elder Days").contains("FIRST_AGE"))
+    assert(Temporal.eraFromText("Second Age").contains("SECOND_AGE"))
+    assert(Temporal.eraFromText("years of the trees").contains("YEARS_OF_TREES"))
+    assert(Temporal.eraFromText("before time began").contains("BEFORE_TIME"))
+    assert(Temporal.eraFromText("last Tuesday").isEmpty)
+  }
+
+  test("birth/death/lived pattern extraction") {
+    val facts = Temporal.extractFacts(
+      "Turin was born in the First Age. Turin perished in the First Age. " +
+        "Elrond dwelt in the Second Age.")
+    assert(facts.contains(("birth", "Turin", "FIRST_AGE")))
+    assert(facts.contains(("death", "Turin", "FIRST_AGE")))
+    assert(facts.contains(("lived", "Elrond", "SECOND_AGE")))
+  }
+
+  test("ORDER patterns -> relations") {
+    val rels = Temporal.extractRelations(
+      "The Fall came before the War. The Crowning followed the War.")
+    assert(rels.contains(("The Fall", "before", "the War")))
+    assert(rels.contains(("The Crowning", "after", "the War")))
+  }
+
+  test("timeline assembly: birth/death merged, lived only for new names") {
+    import spark.implicits._
+    val passages = Seq(
+      ("d1", 0, "Turin was born in the First Age."),
+      ("d1", 1, "Turin perished in the First Age."),
+      ("d2", 0, "Elrond dwelt in the Second Age."))
+      .toDF("doc_id", "pos", "text")
+    val t = Temporal.timeline(spark, passages).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2))))
+      .toMap
+    assert(t("Turin") == (Some("FIRST_AGE"), Some("FIRST_AGE")))
+    assert(t("Elrond") == (Some("SECOND_AGE"), Some("SECOND_AGE")))
+  }
+
+  test("happened_before: explicit relations beat era compare; era fallback") {
+    val tl = Seq(
+      ("The Fall", Some("SECOND_AGE"), Some("SECOND_AGE")),
+      ("The War", Some("FIRST_AGE"), Some("FIRST_AGE")))
+    // explicit relation wins even against the era ordering
+    assert(Temporal.happenedBefore(tl,
+      Seq(("The Fall", "before", "The War")), "the fall", "the war")
+      .contains(true))
+    // inverse direction
+    assert(Temporal.happenedBefore(tl,
+      Seq(("The Fall", "before", "The War")), "the war", "the fall")
+      .contains(false))
+    // era fallback: FIRST < SECOND
+    assert(Temporal.happenedBefore(tl, Seq.empty, "the war", "the fall")
+      .contains(true))
+    // unknown entity -> None
+    assert(Temporal.happenedBefore(tl, Seq.empty, "the war", "nothing").isEmpty)
+  }
+
+  test("alive_during tri-state via the checker's era orders") {
+    // mirrors TemporalEntity.alive_during (temporal.py:86-110)
+    import spark.implicits._
+    val timeline = Seq(("Turin", "SECOND_AGE", "THIRD_AGE"))
+      .toDF("name", "birth_era", "death_era")
+    val claims = Seq(
+      "Turin during the Third Age", // within span -> VALID
+      "Turin during the First Age", // before birth -> INVALID
+      "Nobody during the First Age") // unknown entity
+      .map(Checker.parse)
+    val out = Checker.checkTemporal(spark, claims, timeline)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("Turin during the Third Age") == "VALID")
+    assert(out("Turin during the First Age") == "INVALID")
+    assert(out("Nobody during the First Age") == "UNKNOWN")
+  }
+}
