@@ -147,11 +147,15 @@ object SparkEntry {
       val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
       val (assignment, _) = graft.extract.Canonicalize.clusters(
         s, Pipeline.textual(s, dir), mentions)
+      // top-k idiom: TakeOrderedAndProject narrows to 10 rows BEFORE the
+      // (unavoidable) global rank window runs — no full-table single
+      // partition at scale (round-1 VERDICT.md issue #6)
       graft.extract.Canonicalize.registry(s, mentions, assignment)
+        .orderBy(col("mention_count").desc, col("cluster").asc)
+        .limit(10)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("mention_count").desc, col("cluster").asc)))
-        .filter(col("rank") <= 10)
         .select("rank", "cluster", "mention_count")
     }),
     "q39_sample_quotes" -> ((s, dir) =>

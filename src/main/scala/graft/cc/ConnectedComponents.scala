@@ -67,6 +67,13 @@ object ConnectedComponents {
       labels = next
       converged = changed == 0
     }
+    // Surface non-convergence instead of silently returning split clusters
+    // (an alias chain with diameter > maxIter would otherwise produce wrong
+    // components with no indication — ADVICE r01).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter supersteps " +
+          s"(last changed=${metrics.last.changed}); raise maxIter")
     (labels, metrics.toSeq)
   }
 }

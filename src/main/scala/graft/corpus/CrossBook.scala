@@ -30,15 +30,9 @@ object CrossBook {
       .localCheckpoint(true)
     val nodes = m.select("node").distinct()
 
-    // fuzzy edges at the cross-book 0.85 threshold (X3)
-    val n1 = nodes.select(col("node").as("src"),
-      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len1"))
-    val n2 = nodes.select(col("node").as("dst"),
-      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len2"))
-    val eFuzzy = n1.join(n2, Seq("blk"))
-      .filter(col("src") < col("dst") && abs(col("len1") - col("len2")) <= 3)
-      .filter(ratioUdf(col("src"), col("dst")) >= 0.85)
-      .select("src", "dst")
+    // fuzzy edges at the cross-book 0.85 threshold (X3); blocked
+    // equi-join on (first char, length) — see Canonicalize.fuzzyEdges
+    val eFuzzy = Canonicalize.fuzzyEdges(nodes, 0.85, ratioUdf)
     val eAlias = Canonicalize.aliasPairs(spark, textualPassages)
       .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

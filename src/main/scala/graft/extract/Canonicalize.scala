@@ -66,6 +66,28 @@ object Canonicalize {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Blocked fuzzy self-join: equi-join on (first char, length) with the
+    * length band exploded on the src side — equivalent candidate set to
+    * (first char, |len diff| <= 3) but with length IN the shuffle key.
+    * Shared by within-book (0.90) and cross-book (0.85) canonicalization.
+    */
+  private[graft] def fuzzyEdges(
+      nodes: DataFrame,
+      threshold: Double,
+      ratioUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    val n1 = nodes.select(col("node").as("src"),
+        substring(col("node"), 1, 1).as("blk"),
+        length(col("node")).as("len1"))
+      .withColumn("len",
+        explode(sequence(greatest(col("len1") - 3, lit(1)), col("len1") + 3)))
+    val n2 = nodes.select(col("node").as("dst"),
+      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len"))
+    n1.join(n2, Seq("blk", "len"))
+      .filter(col("src") < col("dst"))
+      .filter(ratioUdf(col("src"), col("dst")) >= threshold)
+      .select("src", "dst")
+  }
+
   /** _should_merge heuristic (D4, dynamic_resolver.py:244-264):
     * substring containment either way, or "the X" == X.
     */
@@ -91,16 +113,13 @@ object Canonicalize {
       .select(col("node").as("src"), col("dst"))
 
     // 2. blocked fuzzy self-join at the 0.90 cluster-match threshold
-    //    (dynamic_resolver.py:148-151); blocking = (first char, len band)
-    val n1 = nodes.select(col("node").as("src"),
-      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len1"))
-    val n2 = nodes.select(col("node").as("dst"),
-      substring(col("node"), 1, 1).as("blk"), length(col("node")).as("len2"))
-    val eFuzzy = n1.join(n2, Seq("blk"))
-      .filter(col("src") < col("dst") &&
-        abs(col("len1") - col("len2")) <= 3)
-      .filter(ratioUdf(col("src"), col("dst")) >= 0.90)
-      .select("src", "dst")
+    //    (dynamic_resolver.py:148-151). The candidate set is (first char,
+    //    |len diff| <= 3), and BOTH dimensions are in the equi-join key:
+    //    the src side explodes its length band so the join key is
+    //    (first char, length) — ~26 x |length| buckets instead of ~26, so
+    //    head-letter skew cannot concentrate the self-join on one reducer
+    //    at corpus scale (round-1 VERDICT.md scale issue #5).
+    val eFuzzy = fuzzyEdges(nodes, 0.90, ratioUdf)
 
     // 3. explicit alias statements
     val eAlias = aliasPairs(spark, textualPassages)

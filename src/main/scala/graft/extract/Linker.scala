@@ -57,6 +57,19 @@ object Linker {
   def stripArticle(c: Column): Column =
     regexp_replace(c, "^(the |a |an )", "")
 
+  /** Scala-side twin of [[inferType]] for fused mapPartitions stages. */
+  def inferTypeLocal(label: String, text: String): String = label match {
+    case "PERSON" | "ORG" => "character"
+    case "PLACE" => "place"
+    case "OBJECT" => "object"
+    case "EVENT" => "event"
+    case _ =>
+      val l = text.toLowerCase
+      if (graft.Lexicon.PlaceIndicators.exists(l.contains)) "place"
+      else if (graft.Lexicon.ObjectIndicators.exists(l.contains)) "object"
+      else "unknown"
+  }
+
   /** Type inference for unlinked mentions (resolver.py:223-257). */
   def inferType(label: Column, text: Column): Column = {
     val lower_ = lower(text)

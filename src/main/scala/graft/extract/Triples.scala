@@ -163,8 +163,12 @@ object Triples {
           else {
             val args = raw.map { r =>
               val linked = lk.lookup(r.text)
+              // on lookup miss, infer the type like the join path does
+              // (Linker.link's is_new branch) — fused/join type parity
               Arg(r.text, r.start, r.end,
-                linked.map(_._1), linked.map(_._2))
+                linked.map(_._1),
+                linked.map(_._2)
+                  .orElse(Some(Linker.inferTypeLocal(r.label, r.text))))
             }
             extract(text, args).iterator.map {
               case (st, pred, se, ot, oe, rawVerb) =>

@@ -79,7 +79,7 @@ object Dialogue {
   /** Pure per-passage extraction (dialogue.py:124-218). */
   private[voice] def extract(text: String)
       : Seq[(String, Int, Option[String], Option[String], Double, Boolean, Boolean)] = {
-    val quotes = QuotePatterns.flatMap { p =>
+    val raw = QuotePatterns.flatMap { p =>
       val m = p.matcher(text)
       val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       while (m.find()) {
@@ -88,6 +88,17 @@ object Dialogue {
       }
       b
     }.sortBy(_._2)
+
+    // overlap dedup across quote styles: a straight-quoted region inside a
+    // curly-quoted span (or vice versa) must not double-count as a second
+    // dialogue line — keep the first span by start, drop overlaps
+    // (mirrors the mention-dedup sweep; ADVICE r01)
+    val quotes = raw.foldLeft(
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]) {
+      case (acc, q @ (_, s, e)) =>
+        if (!acc.exists(a => !(e <= a._2 || s >= a._3))) acc += q
+        acc
+    }.toSeq
 
     quotes.zipWithIndex.map { case ((q, start, end), i) =>
       val contextBefore = text.substring(math.max(0, start - 100), start).trim

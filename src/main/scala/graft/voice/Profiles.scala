@@ -25,7 +25,9 @@ object Profiles {
       .agg(count(lit(1)).as("cnt"))
     val charTotals = counts.groupBy("speaker")
       .agg(sum(col("cnt")).as("char_total"))
-    val totalSpeakers = counts.select("speaker").distinct().count()
+    // scalar speaker count joined lazily (broadcast 1-row cross) instead of
+    // an eager mid-plan .count() that would break the single-job plan
+    val ns = counts.agg(countDistinct(col("speaker")).as("n_speakers"))
     val df = counts.groupBy("word")
       .agg(count(lit(1)).as("speakers_using"))
 
@@ -33,10 +35,12 @@ object Profiles {
       .filter(col("cnt") >= 2)
       .join(charTotals, Seq("speaker"))
       .join(df, Seq("word"))
+      .crossJoin(broadcast(ns))
       .withColumn("other_usage", col("speakers_using") - 1)
       .withColumn("score",
         (col("cnt").cast("double") / col("char_total")) /
-          (lit(1.0) + col("other_usage").cast("double") / totalSpeakers.toDouble))
+          (lit(1.0) + col("other_usage").cast("double")
+            / col("n_speakers").cast("double")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("speaker")
           .orderBy(col("score").desc, col("word").asc)))

@@ -120,4 +120,19 @@ class LinkerSpec extends SparkSpec {
     for (a <- keys; b <- keys if a < b)
       assert(Linker.indelRatio(a, b) < 0.9, s"$a ~ $b")
   }
+
+  test("fused path type parity: unlinked mentions get inferred types too") {
+    import spark.implicits._
+    val passages = Seq(
+      ("d1", 0, "p1", "Tom Bombadil met the Great Forest ring Gandalf."),
+      ("d1", 1, "p2", "Gandaf spoke to Bilbo."))
+      .toDF("doc_id", "pos", "passage_id", "text")
+    val fused = Triples.fromPassagesFused(spark, passages)
+      .select("subject_text", "subject_type", "object_text", "object_type")
+      .collect()
+    fused.foreach { r =>
+      assert(r.getString(1) != null, s"fused subject_type null: $r")
+      assert(r.getString(3) != null, s"fused object_type null: $r")
+    }
+  }
 }

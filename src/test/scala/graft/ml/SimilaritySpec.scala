@@ -55,4 +55,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("LSH near-dup pairs: planted duplicates found, exact rerank, no FPs") {
+    // 3 tight duplicate pairs + noise vectors; multi-band SRP must recover
+    // every pair at cos >= 0.99 with zero false positives (exact rerank)
+    val base = (0 until 16).map(i => math.sin(i * 1.7 + 1).toFloat)
+    def jitter(d: Float) = base.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) d else 0f) }
+    val noise = (0 until 6).map(k =>
+      (10L + k) -> (0 until 16).map(i => math.cos(i * 2.3 + k * 5).toFloat))
+    val e = emb(Seq(
+      0L -> base, 1L -> jitter(0.001f),
+      2L -> base.map(-_), 3L -> jitter(-0.001f)) ++ noise: _*)
+    val exact = Similarity.nearDupPairs(e, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(e, 0.99, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (0L, 3L), (1L, 3L)).subsetOf(exact))
+    assert(lsh == exact)
+  }
+
+  test("exact near-dup block grid covers every pair exactly once") {
+    // all-pairs at threshold -1: every unordered pair must appear once
+    val e = emb((0L until 9L).map(i =>
+      i -> Seq(math.sin(i + 1.0).toFloat, math.cos(i * 2.0).toFloat)): _*)
+    val pairs = Similarity.nearDupPairs(e, -1.0, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 36 && pairs.distinct.length == 36)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
 }
