@@ -215,6 +215,42 @@ object Lexicon {
     "said", "told", "revealed", "discovered", "learned",
     "became", "transformed", "awakened")
 
+  /** Voice-profile archaisms (profile.py:110-116 — the 34-word voice list;
+    * distinct from the style ARCHAISMS below). */
+  val VoiceArchaisms: Seq[String] = Seq(
+    "thee", "thou", "thy", "thine", "ye", "hath", "doth", "art", "wast",
+    "wherefore", "hither", "thither", "whither", "hence", "thence",
+    "ere", "nay", "aye", "yea", "behold", "lo", "alas", "forsooth",
+    "methinks", "mayhap", "perchance", "betwixt", "amongst", "whilst",
+    "verily", "hark", "hearken", "tarry", "prithee")
+
+  /** Style/fingerprint archaism lexicon (metrics.py:33-41, 47 words). */
+  val StyleArchaisms: Seq[String] = Seq(
+    "thee", "thou", "thy", "thine", "ye", "hath", "doth", "art", "wast", "wert",
+    "wherefore", "hither", "thither", "whither", "hence", "thence", "whence",
+    "ere", "nay", "aye", "yea", "behold", "lo", "alas", "forsooth", "prithee",
+    "methinks", "mayhap", "perchance", "betwixt", "amongst", "whilst", "oft",
+    "twas", "tis", "twere", "twould", "neath", "oer", "eer",
+    "verily", "hark", "hearken", "tarry", "smite", "smote", "smitten",
+    "slew", "slain", "wrought", "begat", "begotten", "dwelt", "spake")
+
+  /** Voice-profile top-word stoplist (profile.py:182-186). */
+  val VoiceStopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did", "will", "would", "could",
+    "should", "may", "might", "must", "shall", "can", "that", "this",
+    "it", "its", "as", "if", "not", "no", "so", "up", "out", "about")
+
+  /** First/second-person markers + contraction patterns
+    * (profile.py:106-108). */
+  val FirstPersonWords: Seq[String] = Seq(
+    "i", "me", "my", "mine", "myself", "i'm", "i've", "i'll", "i'd")
+  val SecondPersonWords: Seq[String] = Seq(
+    "you", "your", "yours", "yourself", "you're", "you've", "you'll", "you'd")
+  val ContractionPatterns: Seq[String] = Seq(
+    "n't", "'s", "'re", "'ve", "'ll", "'d", "'m")
+
   /** Abbreviations protected during sentence splitting.
     * Reference: ingest/splitter.py:149-153. */
   val Abbreviations: Seq[String] = Seq(

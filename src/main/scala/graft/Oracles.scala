@@ -79,8 +79,9 @@ object Oracles {
        |      WHEN m = 20 THEN $subj || ' was born in the ' || $eraB || ' Age.'
        |      WHEN m = 21 THEN $subj || ' perished in the ' || $eraD || ' Age.'
        |      WHEN m = 22 THEN $subj || ' welcomed the King of ' || $place || '.'
-       |      WHEN m = 23 AND v % 2 = 0 THEN
-       |        '"Enough of this." ' || $subj || ' turned away.'
+       |      WHEN m = 23 AND v % 4 = 0 THEN
+       |        '"I''ll tarry here, aye." ' || $subj || ' turned away.'
+       |      WHEN m = 23 AND v % 4 = 2 THEN '"Who goes there?" The gate stayed shut.'
        |      WHEN m = 23 THEN '"We shall see." And quietly said ' || $subj || '.'
        |      WHEN m = 24 THEN $place || ' lies in the valley of ' || $place2 || '.'
        |      WHEN m = 25 THEN
@@ -278,15 +279,15 @@ object Oracles {
       row("m = 22", s"'King of ' || $ePlace", s"length($eSubj) + 14",
         "'PERSON'", "'pattern'", "0.9", "NULL", "'character'", "0.0",
         "TRUE", "title span (N3) wins the N5 dedup over the place inside it"),
-      row("m = 23 AND v % 2 = 0", "'Enough'", "1",
-        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
-        "TRUE", "capitalized quote word — unseeded"),
-      row("m = 23 AND v % 2 = 0", eSubj, "18", "'PERSON'", "'gazetteer'",
+      row("m = 23 AND v % 4 = 0", eSubj, "24", "'PERSON'", "'gazetteer'",
         "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
         "tier-4 attribution speaker"),
       row("m = 23 AND v % 2 = 1", eSubj, "33", "'PERSON'", "'gazetteer'",
         "0.85", s"lower($eSubj)", "'character'", "1.0", "FALSE",
         "tier-3 attribution speaker"),
+      row("m = 23 AND v % 4 = 2", "'Who'", "1",
+        "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
+        "TRUE", "capitalized quote word — unseeded ('who' is not in the stoplist)"),
       row("m = 24", ePlace, "0", "'PLACE'", "'gazetteer'", "0.85",
         s"lower($ePlace)", "'place'", "1.0", "FALSE", "geography subject"),
       row("m = 24", ePlace2, s"length($ePlace) + 23",
@@ -392,12 +393,14 @@ object Oracles {
        |  FROM syn WHERE m BETWEEN 11 AND 13
        |  UNION ALL
        |  SELECT doc_id, pos,
-       |    CASE WHEN v % 2 = 0 THEN 'Enough of this.'
+       |    CASE WHEN v % 4 = 0 THEN 'I''ll tarry here, aye.'
+       |         WHEN v % 4 = 2 THEN 'Who goes there?'
        |         ELSE 'We shall see.' END AS quote,
-       |    $eSubj AS speaker,
-       |    CASE WHEN v % 2 = 0 THEN NULL ELSE 'said' END AS speech_verb,
-       |    CAST(CASE WHEN v % 2 = 0 THEN 0.4 ELSE 0.7 END AS DOUBLE),
-       |    FALSE, FALSE
+       |    CASE WHEN v % 4 = 2 THEN NULL ELSE $eSubj END AS speaker,
+       |    CASE WHEN v % 2 = 1 THEN 'said' END AS speech_verb,
+       |    CAST(CASE WHEN v % 4 = 0 THEN 0.4 WHEN v % 4 = 2 THEN 0.0
+       |         ELSE 0.7 END AS DOUBLE),
+       |    (v % 4 = 2), FALSE
        |  FROM syn WHERE m = 23
        |)""".stripMargin
 

@@ -61,6 +61,17 @@ object SparkEntry {
           "attribution_confidence", "is_question", "is_exclamation")),
     "q12_voice_profiles" -> ((s, dir) =>
       graft.voice.Dialogue.voiceProfiles(s,
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())
+        .select("speaker", "total_lines", "questions", "exclamations",
+          "statements", "avg_words", "utterance_std", "min_words",
+          "max_words", "total_words", "total_chars", "unique_words",
+          "type_token_ratio", "avg_word_len", "contraction_ratio",
+          "first_person_ratio", "second_person_ratio", "archaism_count")),
+    "q41_voice_stats" -> ((s, dir) =>
+      graft.voice.Dialogue.voiceStats(s,
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+    "q42_top_words" -> ((s, dir) =>
+      graft.voice.Profiles.topWords(
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
     "q13_style_doc" -> ((s, dir) => {
       val txt = Pipeline.textual(s, dir)
@@ -320,6 +331,67 @@ object SparkEntry {
 
   private def sq(s: String): String = s.replace("'", "''")
 
+  private def sqlStrList(xs: Seq[String]): String =
+    xs.map(x => "'" + sq(x) + "'").mkString("[", ", ", "]")
+
+  private def voiceStopSql: String = sqlStrList(Lexicon.VoiceStopWords)
+
+  /** Full V5 voice-profile oracle select (over the dlg CTE) — mirrors
+    * Dialogue.voiceProfiles' word semantics in DuckDB list functions.
+    */
+  private def voiceProfileOracleSelect: String = {
+    val strip = """regexp_replace(w, '^[.,!?"'']+|[.,!?"'']+$', '', 'g')"""
+    val stripLen = """regexp_replace(w, '^[.,!?"''-]+|[.,!?"''-]+$', '', 'g')"""
+    val contr = Lexicon.ContractionPatterns
+      .map(pt => s"w LIKE '%${sq(pt)}%'").mkString(" OR ")
+    s""", words AS (
+       |  SELECT speaker, is_question, is_exclamation, quote,
+       |         regexp_split_to_array(trim(lower(quote)), '\\s+') AS ws
+       |  FROM dlg WHERE speaker IS NOT NULL
+       |), lines AS (
+       |  SELECT speaker, is_question, is_exclamation, quote, len(ws) AS wc,
+       |    len(list_filter(ws, w -> $contr)) AS contr,
+       |    len(list_filter(list_transform(ws, w -> $strip),
+       |        w -> list_contains(${sqlStrList(Lexicon.FirstPersonWords)}, w))) AS fp,
+       |    len(list_filter(list_transform(ws, w -> $strip),
+       |        w -> list_contains(${sqlStrList(Lexicon.SecondPersonWords)}, w))) AS sp,
+       |    len(list_filter(list_transform(ws, w -> $strip),
+       |        w -> list_contains(${sqlStrList(Lexicon.VoiceArchaisms)}, w))) AS arch,
+       |    list_sum(list_transform(ws, w -> length($stripLen))) AS wlen
+       |  FROM words
+       |), uniqw AS (
+       |  SELECT speaker, CAST(count(DISTINCT w) AS BIGINT) AS unique_words
+       |  FROM (SELECT speaker, unnest(ws) AS w FROM words) GROUP BY 1
+       |), per AS (
+       |  SELECT speaker, count(*) AS total_lines,
+       |    CAST(sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS BIGINT) AS questions,
+       |    CAST(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS exclamations,
+       |    CAST(sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS statements,
+       |    round(avg(wc), 4) AS avg_words,
+       |    round(coalesce(stddev_samp(wc), 0.0), 4) AS utterance_std,
+       |    CAST(min(wc) AS INT) AS min_words,
+       |    CAST(max(wc) AS INT) AS max_words,
+       |    CAST(sum(wc) AS BIGINT) AS total_words,
+       |    CAST(sum(length(quote)) AS BIGINT) AS total_chars,
+       |    CAST(sum(contr) AS BIGINT) AS contractions,
+       |    CAST(sum(fp) AS BIGINT) AS first_person,
+       |    CAST(sum(sp) AS BIGINT) AS second_person,
+       |    CAST(sum(arch) AS BIGINT) AS archaism_count,
+       |    sum(wlen) AS wlen_sum
+       |  FROM lines GROUP BY 1 HAVING count(*) >= 3
+       |)
+       |SELECT p.speaker, total_lines, questions, exclamations, statements,
+       |  avg_words, utterance_std, min_words, max_words, total_words,
+       |  total_chars, u.unique_words,
+       |  round(u.unique_words::DOUBLE / total_words, 4) AS type_token_ratio,
+       |  round(wlen_sum::DOUBLE / total_words, 4) AS avg_word_len,
+       |  round(contractions::DOUBLE / total_words, 4) AS contraction_ratio,
+       |  round(first_person::DOUBLE / total_words, 4) AS first_person_ratio,
+       |  round(second_person::DOUBLE / total_words, 4) AS second_person_ratio,
+       |  archaism_count
+       |FROM per p JOIN uniqw u USING (speaker)""".stripMargin
+  }
+
   private val eraOrdSql: String => String = col =>
     s"""CASE $col WHEN 'BEFORE_TIME' THEN 0 WHEN 'YEARS_OF_TREES' THEN 1
        | WHEN 'FIRST_AGE' THEN 2 WHEN 'SECOND_AGE' THEN 3
@@ -520,14 +592,32 @@ object SparkEntry {
         """SELECT doc_id, pos, quote, speaker, speech_verb,
           |       attribution_confidence, is_question, is_exclamation
           |FROM dlg""".stripMargin),
-      "q12_voice_profiles" -> withDialogue(
-        """SELECT speaker, count(*) AS total_lines,
-          |       CAST(sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS BIGINT) AS questions,
-          |       CAST(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS exclamations,
-          |       CAST(sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS statements,
-          |       avg(len(regexp_split_to_array(trim(quote), '\s+'))) AS avg_words,
-          |       CAST(sum(len(regexp_split_to_array(trim(quote), '\s+'))) AS BIGINT) AS total_words
-          |FROM dlg GROUP BY 1 HAVING count(*) >= 3""".stripMargin),
+      "q12_voice_profiles" -> withDialogue(voiceProfileOracleSelect),
+      "q41_voice_stats" -> withDialogue(
+        """SELECT CAST(count(*) AS BIGINT) AS total_dialogue_lines,
+          |  CAST(sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS unattributed_lines,
+          |  round((count(*) - sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END))::DOUBLE
+          |        / count(*), 4) AS attribution_rate,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM (
+          |     SELECT speaker FROM dlg WHERE speaker IS NOT NULL
+          |     GROUP BY 1 HAVING count(*) >= 3)) AS total_characters
+          |FROM dlg""".stripMargin),
+      "q42_top_words" -> withDialogue(
+        s""", words AS (
+           |  SELECT speaker,
+           |         unnest(regexp_split_to_array(trim(lower(quote)), '\\s+')) AS word
+           |  FROM dlg WHERE speaker IS NOT NULL
+           |)
+           |SELECT speaker, CAST(rank_big AS INT) AS rank, word, cnt FROM (
+           |  SELECT speaker, word, cnt,
+           |         row_number() OVER (PARTITION BY speaker
+           |                            ORDER BY cnt DESC, word ASC) AS rank_big
+           |  FROM (SELECT speaker, word, count(*) AS cnt FROM words
+           |        WHERE length(word) > 2
+           |          AND NOT list_contains($voiceStopSql, word)
+           |        GROUP BY 1, 2)
+           |) WHERE rank_big <= 20""".stripMargin),
       "q13_style_doc" -> withDialogue(
         """SELECT s.doc_id,
           |       count(*) AS sentences,
@@ -606,7 +696,7 @@ object SparkEntry {
       "q33_distinctive_words" -> withDialogue(
         """, words AS (
           |  SELECT speaker, unnest(regexp_split_to_array(lower(quote), '\s+')) AS word
-          |  FROM dlg
+          |  FROM dlg WHERE speaker IS NOT NULL
           |), counts AS (
           |  SELECT speaker, word, count(*) AS cnt FROM words
           |  WHERE length(word) > 0 GROUP BY 1, 2
@@ -653,7 +743,7 @@ object SparkEntry {
           |          CASE WHEN len(regexp_split_to_array(trim(quote), '\s+')) BETWEEN 5 AND 20 THEN 1.0
           |               WHEN len(regexp_split_to_array(trim(quote), '\s+')) BETWEEN 3 AND 30 THEN 0.5
           |               ELSE 0.1 END AS quality
-          |        FROM dlg)
+          |        FROM dlg WHERE speaker IS NOT NULL)
           |) WHERE rn = 1""".stripMargin),
       "q30_worldbible_cat" -> Oracles.overSyn(
         """SELECT doc_id, pos, 'geography' AS category,

@@ -26,9 +26,14 @@ import graft.Lexicon._
   *   20     birth (E12): "<Char> was born in the <EraB> Age."
   *   21     death (E12): "<Char> perished in the <EraD> Age."
   *   22     title adversarial (N3/N5): "<Char> welcomed the King of <Place>."
-  *   23     tier-4/3 attribution (V3): v even ->
-  *            "\"Enough of this.\" <Char> turned away."
-  *          v odd -> "\"We shall see.\" And quietly said <Char>."
+  *   23     attribution tiers + voice-profile fodder (V3/V5):
+  *          v%4=0 -> "\"I'll tarry here, aye.\" <Char> turned away."
+  *            (tier 4; plants a contraction, first-person and two
+  *            archaisms for the voice-profile scalars)
+  *          v%4=2 -> "\"Who goes there?\" The gate stayed shut."
+  *            (unattributed — no speech verb and no capitalized
+  *            non-stoplist word follow, so attribution_rate < 1)
+  *          v odd -> "\"We shall see.\" And quietly said <Char>."  (tier 3)
   *   24     geography (W10): "<Place> lies in the valley of <Place2>."
   *   25     culture (W8): "The <People> honor their custom of gift giving."
   *   26     capability rules (W9/Q9): v even ->
@@ -103,8 +108,10 @@ object DocsSynth {
         concat(subj, lit(" perished in the "), eraD, lit(" Age.")))
       .when(m === 22,
         concat(subj, lit(" welcomed the King of "), place, lit(".")))
-      .when(m === 23 && pmod(v, lit(2)) === 0,
-        concat(lit("\"Enough of this.\" "), subj, lit(" turned away.")))
+      .when(m === 23 && pmod(v, lit(4)) === 0,
+        concat(lit("\"I'll tarry here, aye.\" "), subj, lit(" turned away.")))
+      .when(m === 23 && pmod(v, lit(4)) === 2,
+        lit("\"Who goes there?\" The gate stayed shut."))
       .when(m === 23,
         concat(lit("\"We shall see.\" And quietly said "), subj, lit(".")))
       .when(m === 24,

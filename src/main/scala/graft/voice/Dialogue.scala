@@ -1,7 +1,7 @@
 package graft.voice
 
 import java.util.regex.Pattern
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import graft.Lexicon
 
 /** One extracted dialogue line.
@@ -126,23 +126,95 @@ object Dialogue {
       }
   }
 
-  /** Per-speaker voice profile aggregates (V5, voice/profile.py:65-208 —
-    * the SQL-expressible scalar core; min 3 lines per profile, V9
-    * analyzer.py:141).
+  /** Per-speaker voice profile — the FULL V5 scalar set
+    * (voice/profile.py:65-208): corpus counts, utterance-length stats,
+    * type ratios, vocabulary (unique words, TTR, avg word length),
+    * formality (contraction/1st/2nd-person ratios) and archaism counts.
+    * Word semantics match the reference exactly: tokens =
+    * lower(text).split() on whitespace; person/archaism checks strip
+    * `.,!?"'` from both ends; word lengths additionally strip `-`;
+    * contractions are substring hits per word. Min 3 lines per profile
+    * (V9, analyzer.py:141). Double columns rounded to 4dp for
+    * cross-engine comparability.
     */
   def voiceProfiles(spark: SparkSession, dialogue: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    dialogue
+    val words = split(lower(trim(col("quote"))), "\\s+")
+    val strip = (w: Column) =>
+      regexp_replace(w, """^[.,!?"']+|[.,!?"']+$""", "")
+    val stripLen = (w: Column) =>
+      length(regexp_replace(w, """^[.,!?"'-]+|[.,!?"'-]+$""", ""))
+    val contraction = (w: Column) =>
+      Lexicon.ContractionPatterns.map(p => w.contains(p)).reduce(_ || _)
+
+    val lines = dialogue
       .filter(col("speaker").isNotNull)
-      .withColumn("words", size(split(trim(col("quote")), "\\s+")))
+      .withColumn("ws", words)
+      .withColumn("wc", size(col("ws")))
+      .withColumn("contr", size(filter(col("ws"), contraction)))
+      .withColumn("fp", size(filter(transform(col("ws"), strip),
+        w => w.isin(Lexicon.FirstPersonWords: _*))))
+      .withColumn("sp", size(filter(transform(col("ws"), strip),
+        w => w.isin(Lexicon.SecondPersonWords: _*))))
+      .withColumn("arch", size(filter(transform(col("ws"), strip),
+        w => w.isin(Lexicon.VoiceArchaisms: _*))))
+      .withColumn("wlen",
+        aggregate(transform(col("ws"), stripLen), lit(0), (acc, x) => acc + x))
+
+    val scalars = lines
       .groupBy(col("speaker"))
       .agg(
         count(lit(1)).as("total_lines"),
         sum(when(col("is_question"), 1L).otherwise(0L)).as("questions"),
         sum(when(col("is_exclamation"), 1L).otherwise(0L)).as("exclamations"),
         sum(when(col("is_statement"), 1L).otherwise(0L)).as("statements"),
-        avg(col("words")).as("avg_words"),
-        sum(col("words").cast("long")).as("total_words"))
+        round(avg(col("wc")), 4).as("avg_words"),
+        round(coalesce(stddev_samp(col("wc")), lit(0.0)), 4)
+          .as("utterance_std"),
+        min(col("wc")).as("min_words"),
+        max(col("wc")).as("max_words"),
+        sum(col("wc").cast("long")).as("total_words"),
+        sum(length(col("quote")).cast("long")).as("total_chars"),
+        sum(col("contr").cast("long")).as("contractions"),
+        sum(col("fp").cast("long")).as("first_person"),
+        sum(col("sp").cast("long")).as("second_person"),
+        sum(col("arch").cast("long")).as("archaism_count"),
+        sum(col("wlen").cast("long")).as("wlen_sum"))
       .filter(col("total_lines") >= 3)
+
+    val uniq = lines
+      .select(col("speaker"), explode(col("ws")).as("w"))
+      .groupBy("speaker")
+      .agg(countDistinct(col("w")).as("unique_words"))
+
+    scalars.join(uniq, Seq("speaker"))
+      .withColumn("type_token_ratio",
+        round(col("unique_words").cast("double") / col("total_words"), 4))
+      .withColumn("avg_word_len",
+        round(col("wlen_sum").cast("double") / col("total_words"), 4))
+      .withColumn("contraction_ratio",
+        round(col("contractions").cast("double") / col("total_words"), 4))
+      .withColumn("first_person_ratio",
+        round(col("first_person").cast("double") / col("total_words"), 4))
+      .withColumn("second_person_ratio",
+        round(col("second_person").cast("double") / col("total_words"), 4))
+      .drop("wlen_sum", "contractions", "first_person", "second_person")
+  }
+
+  /** V9 analyzer corpus stats (analyzer.py:120-150): one row with the
+    * dialogue totals and the attribution rate.
+    */
+  def voiceStats(spark: SparkSession, dialogue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val profiles = voiceProfiles(spark, dialogue)
+      .agg(count(lit(1)).as("total_characters"))
+    dialogue.agg(
+        count(lit(1)).as("total_dialogue_lines"),
+        sum(when(col("speaker").isNull, 1L).otherwise(0L))
+          .as("unattributed_lines"))
+      .withColumn("attribution_rate",
+        round((col("total_dialogue_lines") - col("unattributed_lines"))
+          .cast("double") / col("total_dialogue_lines"), 4))
+      .crossJoin(profiles)
   }
 }

@@ -80,6 +80,27 @@ object Profiles {
       .select("speaker", "rank", "phrase", "cnt")
   }
 
+  /** V5 top words (profile.py:181-190): per speaker, the 20 most frequent
+    * lowercase whitespace tokens longer than 2 chars outside the
+    * reference's stoplist, ranked (count desc, word asc — deterministic
+    * stand-in for Python's sort stability).
+    */
+  def topWords(dialogue: DataFrame, topN: Int = 20): DataFrame = {
+    dialogue
+      .filter(col("speaker").isNotNull)
+      .select(col("speaker"),
+        explode(split(lower(trim(col("quote"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 2 &&
+        !col("word").isin(graft.Lexicon.VoiceStopWords: _*))
+      .groupBy("speaker", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("speaker")
+          .orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("rank") <= topN)
+      .select("speaker", "rank", "word", "cnt")
+  }
+
   /** V10 compare_voices (voice/analyzer.py:189-246): pairwise similarity
     * from scalar profile metrics — all speaker pairs in one self-join.
     * Input: voiceProfiles output; similarity = mean of per-metric

@@ -14,7 +14,7 @@ class CanonicalizeSpec extends SparkSpec {
     val names = Lexicon.Chars.map(_.toLowerCase) ++
       Lexicon.CharAliases.map(_.toLowerCase) ++
       Lexicon.Places.map(_.toLowerCase) ++
-      Seq("third age", "second age", "fourth age", "enough") ++
+      Seq("third age", "second age", "fourth age", "who") ++
       Lexicon.Places.map(p => s"king of ${p.toLowerCase}")
     val typos = Lexicon.Chars.map(_.toLowerCase.dropRight(1))
     (names ++ typos).distinct
