@@ -149,6 +149,8 @@ object SparkEntry {
           pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L)))
       graft.style.Fingerprint.burrowsDelta(
         graft.style.Fingerprint.functionWordZScores(sents, "corpus", "text"))
+        .select(col("corpus_a"), col("corpus_b"),
+          round(col("delta"), 4).as("delta"))
     }),
     "q37_crossbook" -> ((s, dir) =>
       graft.corpus.CrossBook.resolveAll(s,
@@ -525,6 +527,152 @@ object SparkEntry {
          |${oracleClaims.map(claimBranchSql).mkString("\nUNION ALL\n")}""".stripMargin)
   }
 
+  /** q14 readability oracle: the vowel-group syllable heuristic
+    * (Metrics.syllables) re-expressed in DuckDB list functions.
+    */
+  private def readabilityOracleSql: String = {
+    val w = "regexp_replace(lower(w0), '[^a-z]', '', 'g')"
+    val syll = "CASE WHEN length(w) = 0 THEN 0 ELSE greatest(1, len(regexp_extract_all(w, '[aeiouy]+')) - CASE WHEN w LIKE '%e' AND NOT w LIKE '%le' AND len(regexp_extract_all(w, '[aeiouy]+')) > 1 THEN 1 ELSE 0 END) END"
+    Oracles.overSyn(
+      s""", toks AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc,
+         |         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |                        w0 -> $w) AS ws
+         |  FROM syn WHERE kind <> 'media'
+         |), sylls AS (
+         |  SELECT doc_id, pos, wc,
+         |    list_sum(list_transform(ws, w -> $syll)) AS syll,
+         |    len(list_filter(ws, w -> ($syll) >= 3)) AS cw
+         |  FROM toks
+         |)
+         |SELECT doc_id, count(*) AS sentences,
+         |  CAST(sum(wc) AS BIGINT) AS words,
+         |  CAST(sum(coalesce(syll, 0)) AS BIGINT) AS syllables,
+         |  CAST(sum(cw) AS BIGINT) AS complex_words,
+         |  floor((206.835 - 1.015 * (sum(wc)::DOUBLE / count(*))
+         |        - 84.6 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS flesch,
+         |  floor((0.39 * (sum(wc)::DOUBLE / count(*))
+         |        + 11.8 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc)) - 15.59) * 10000 + 0.5) / 10000.0 AS fk_grade,
+         |  floor((0.4 * ((sum(wc)::DOUBLE / count(*))
+         |        + 100.0 * sum(cw)::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS gunning_fog
+         |FROM sylls GROUP BY 1""".stripMargin)
+  }
+
+  /** q34 classifier oracle: the six scorers re-implemented in SQL over the
+    * raw text (an independent derivation, not planted-template branches).
+    */
+  private def classifierOracleSql: String = {
+    import graft.style.Classifier
+    def present(words: Seq[String]): String = words
+      .map(v => s"(CASE WHEN regexp_matches(lw, '\\b${sq(v)}\\b') THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    def contained(words: Seq[String]): String = words
+      .map(k => s"(CASE WHEN lw LIKE '%${sq(k)}%' THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val descMatches = Classifier.DescriptionPatterns
+      .map(pt => s"len(regexp_extract_all(lw, '${sq(pt)}'))")
+      .mkString("(", " + ", ")")
+    val adjCount =
+      s"len(list_filter(regexp_split_to_array(lw, '\\s+'), w -> list_contains(${sqlStrList(Classifier.DescAdjectives)}, w)))"
+    val fpCount = Classifier.FirstPerson
+      .map(pp => s"(CASE WHEN position(' ${sq(pp)} ' IN ' ' || lw || ' ') > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val quoted =
+      """coalesce(list_sum(list_transform(
+        |  regexp_extract_all(text, '["“][^"”]+["”]'), x -> length(x))), 0)"""
+        .stripMargin.replace("\n", " ")
+    val shortSents =
+      """len(list_filter(string_split(regexp_replace(lw, '\.+$', ''), '.'),
+        |  s -> len(list_filter(regexp_split_to_array(s, '\s+'),
+        |                       x -> length(x) > 0)) BETWEEN 4 AND 9))"""
+        .stripMargin.replace("\n", " ")
+    val sentCount = """len(string_split(regexp_replace(lw, '\.+$', ''), '.'))"""
+    Oracles.overSyn(
+      s""", lows AS (
+         |  SELECT doc_id, pos, text, lower(text) AS lw FROM syn
+         |  WHERE kind <> 'media'
+         |), cls AS (
+         |  SELECT doc_id, pos,
+         |    (CASE WHEN $quoted > 0 AND length(text) > 0
+         |          THEN $quoted::DOUBLE / length(text) * 3.0 ELSE 0.0 END
+         |     + 0.3 * ${present(Classifier.DialogueVerbs)})::DOUBLE AS s0,
+         |    least(0.4 * ${contained(Classifier.ActionVerbs)}
+         |     + CASE WHEN $shortSents > $sentCount / 2.0 THEN 0.5 ELSE 0.0 END,
+         |      3.0)::DOUBLE AS s1,
+         |    (0.3 * $descMatches + 0.2 * $adjCount
+         |     + CASE WHEN len(regexp_split_to_array(lw, '\\s+')) > 30
+         |            THEN 0.3 ELSE 0.0 END)::DOUBLE AS s2,
+         |    least(0.35 * ${contained(Classifier.TravelKeywords)}
+         |      + 0.3 * ${contained(Classifier.Directions)}, 3.0)::DOUBLE AS s3,
+         |    least(0.4 * ${contained(Classifier.BattleKeywords)}, 3.5)::DOUBLE AS s4,
+         |    (0.35 * ${present(Classifier.ReflectionVerbs)} + 0.2 * $fpCount)::DOUBLE AS s5
+         |  FROM lows
+         |), unp AS (
+         |  SELECT doc_id, pos, i,
+         |    (['dialogue','action','description','travel','battle','reflection'])[i + 1] AS name,
+         |    ([s0, s1, s2, s3, s4, s5])[i + 1] AS score,
+         |    s0 + s1 + s2 + s3 + s4 + s5 AS total,
+         |    s0, s1, s2, s3, s4, s5
+         |  FROM cls, (SELECT unnest(range(6)) AS i)
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+         |                               ORDER BY score DESC, i ASC) AS rn
+         |  FROM unp
+         |)
+         |SELECT p.doc_id, p.pos,
+         |  CASE WHEN p.score < 0.5 THEN 'unknown' ELSE p.name END AS primary_type,
+         |  round(CASE WHEN p.score < 0.5 THEN 0.0
+         |             WHEN p.total > 0 THEN least(1.0, p.score / p.total)
+         |             ELSE 0.0 END, 4) AS confidence,
+         |  CASE WHEN sx.score > 0.3 THEN sx.name END AS secondary_type,
+         |  round(p.s0, 4) AS dialogue_score,
+         |  round(p.s1, 4) AS action_score,
+         |  round(p.s2, 4) AS description_score,
+         |  round(p.s3, 4) AS travel_score,
+         |  round(p.s4, 4) AS battle_score,
+         |  round(p.s5, 4) AS reflection_score
+         |FROM ranked p JOIN ranked sx
+         |  ON p.doc_id = sx.doc_id AND p.pos = sx.pos
+         |WHERE p.rn = 1 AND sx.rn = 2""".stripMargin)
+  }
+
+  /** q36 Burrows-delta oracle: 100-function-word frequency grid per
+    * corpus, self-normalized z-scores, mean |z1 - z2|.
+    */
+  private def burrowsOracleSql: String = {
+    val fwList = sqlStrList(graft.style.Fingerprint.FunctionWords)
+    Oracles.overSyn(
+      s""", w AS (
+         |  SELECT CAST(substring(doc_id, 5) AS BIGINT) % 2 AS corpus,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z'']+')) AS word
+         |  FROM syn WHERE kind <> 'media'
+         |), ww AS (SELECT corpus, word FROM w WHERE length(word) > 0),
+         |tot AS (SELECT corpus, count(*) AS total FROM ww GROUP BY 1),
+         |fw AS (SELECT unnest($fwList) AS word),
+         |cnts AS (
+         |  SELECT corpus, word, count(*) AS cnt FROM ww
+         |  WHERE list_contains($fwList, word) GROUP BY 1, 2
+         |), freqs AS (
+         |  SELECT t.corpus, f.word,
+         |         coalesce(c.cnt, 0)::DOUBLE / t.total AS freq
+         |  FROM tot t CROSS JOIN fw f
+         |  LEFT JOIN cnts c ON c.corpus = t.corpus AND c.word = f.word
+         |), z AS (
+         |  SELECT corpus, word,
+         |    CASE WHEN stddev_samp(freq) OVER (PARTITION BY corpus) > 0
+         |         THEN (freq - avg(freq) OVER (PARTITION BY corpus))
+         |              / stddev_samp(freq) OVER (PARTITION BY corpus)
+         |         ELSE 0.0 END AS z
+         |  FROM freqs
+         |)
+         |SELECT a.corpus AS corpus_a, b.corpus AS corpus_b,
+         |       round(avg(abs(a.z - b.z)), 4) AS delta
+         |FROM z a JOIN z b ON a.word = b.word AND a.corpus < b.corpus
+         |GROUP BY 1, 2""".stripMargin)
+  }
+
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -633,6 +781,28 @@ object SparkEntry {
           |           FROM dlg GROUP BY 1) d ON d.doc_id = s.doc_id
           |WHERE s.kind <> 'media'
           |GROUP BY 1""".stripMargin),
+      "q14_readability" -> readabilityOracleSql,
+      "q34_classifier" -> classifierOracleSql,
+      "q36_burrows_delta" -> burrowsOracleSql,
+      "q35_signature_phrases" -> withDialogue(
+        s""", ng AS (
+           |  SELECT speaker, unnest(
+           |    [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] ||
+           |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+           |  ) AS phrase
+           |  FROM (SELECT speaker,
+           |          regexp_split_to_array(lower(quote), '\\s+') AS ws
+           |        FROM dlg WHERE speaker IS NOT NULL)
+           |)
+           |SELECT speaker, CAST(rank_big AS INT) AS rank, phrase, cnt FROM (
+           |  SELECT speaker, phrase, cnt,
+           |    row_number() OVER (PARTITION BY speaker
+           |                       ORDER BY cnt DESC, phrase ASC) AS rank_big
+           |  FROM (SELECT speaker, phrase, count(*) AS cnt FROM ng
+           |        WHERE NOT list_contains(${sqlStrList(graft.voice.Profiles.CommonPhrases)}, phrase)
+           |        GROUP BY 1, 2)
+           |  WHERE cnt >= 2
+           |) WHERE rank_big <= 5""".stripMargin),
       "q15_events" -> withEvents(
         """SELECT doc_id, pos, event_id, agent, action, patient, year, era,
           |       confidence

@@ -21,42 +21,45 @@ object Classifier {
       reflectionScore: Double)
 
   private val QuotePat = Pattern.compile("[\"“][^\"”]+[\"”]")
-  private val DialogueVerbPats = Seq(
+  private[graft] val DialogueVerbs = Seq(
     "said", "asked", "replied", "answered", "cried", "shouted",
     "whispered", "muttered", "exclaimed", "declared", "demanded", "begged")
-    .map(v => Pattern.compile(s"\\b$v\\b"))
+  private val DialogueVerbPats =
+    DialogueVerbs.map(v => Pattern.compile(s"\\b$v\\b"))
 
-  private val ActionVerbs = Seq(
+  private[graft] val ActionVerbs = Seq(
     "ran", "jumped", "grabbed", "threw", "caught", "hit", "struck",
     "pulled", "pushed", "climbed", "fell", "leaped", "rushed", "seized",
     "turned", "moved", "sprang", "dashed", "plunged", "dove", "swung")
 
-  private val DescriptionPats = Seq(
+  private[graft] val DescriptionPatterns = Seq(
     """\bwas\s+\w+ing\b""", """\bseemed\b""", """\bappeared\b""",
     """\blooked\b""", """\bthe\s+\w+\s+was\b""", """\bthere\s+was\b""",
-    """\bthere\s+were\b""").map(Pattern.compile(_))
-  private val DescAdjectives = Seq(
+    """\bthere\s+were\b""")
+  private val DescriptionPats = DescriptionPatterns.map(Pattern.compile(_))
+  private[graft] val DescAdjectives = Seq(
     "great", "dark", "long", "small", "old", "new", "high", "deep",
     "wide", "narrow", "bright", "dim", "cold", "warm", "vast")
 
-  private val TravelKeywords = Seq(
+  private[graft] val TravelKeywords = Seq(
     "walked", "went", "traveled", "journeyed", "rode", "marched",
     "path", "road", "trail", "way", "distance", "miles", "leagues",
     "east", "west", "north", "south", "onwards", "forward", "onward",
     "mountain", "forest", "river", "valley", "hill", "plain")
-  private val Directions = Seq("east", "west", "north", "south", "onwards", "forward")
+  private[graft] val Directions = Seq("east", "west", "north", "south", "onwards", "forward")
 
-  private val BattleKeywords = Seq(
+  private[graft] val BattleKeywords = Seq(
     "sword", "blade", "arrow", "spear", "shield", "armor", "helm",
     "fought", "battle", "war", "attack", "defend", "enemy", "foe",
     "slew", "killed", "wounded", "blood", "death", "fell", "charge",
     "army", "soldiers", "warriors", "host", "orcs", "goblins")
 
-  private val ReflectionPats = Seq(
+  private[graft] val ReflectionVerbs = Seq(
     "thought", "wondered", "remembered", "felt", "realized", "knew",
     "understood", "believed", "hoped", "feared", "dreamed", "imagined")
-    .map(v => Pattern.compile(s"\\b$v\\b"))
-  private val FirstPerson = Seq("i", "me", "my", "myself")
+  private val ReflectionPats =
+    ReflectionVerbs.map(v => Pattern.compile(s"\\b$v\\b"))
+  private[graft] val FirstPerson = Seq("i", "me", "my", "myself")
 
   private def scoreDialogue(text: String, lower: String): Double = {
     var score = 0.0
@@ -135,7 +138,13 @@ object Classifier {
       scores(5)._2)
   }
 
-  /** Spark stage: per-passage classification rows. */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Spark stage: per-passage classification rows — ALL six scorer columns
+    * (round-1 review: description/reflection were dropped), doubles rounded
+    * to 4dp for cross-engine comparability.
+    */
   def classifyPassages(
       spark: org.apache.spark.sql.SparkSession,
       passages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -143,10 +152,12 @@ object Classifier {
     passages.select("doc_id", "pos", "text").as[(String, Int, String)]
       .mapPartitions(_.map { case (d, p, t) =>
         val c = classify(t)
-        (d, p, c.primaryType, c.confidence, c.secondaryType,
-          c.dialogueScore, c.actionScore, c.travelScore, c.battleScore)
+        (d, p, c.primaryType, r4(c.confidence), c.secondaryType,
+          r4(c.dialogueScore), r4(c.actionScore), r4(c.descriptionScore),
+          r4(c.travelScore), r4(c.battleScore), r4(c.reflectionScore))
       })
       .toDF("doc_id", "pos", "primary_type", "confidence", "secondary_type",
-        "dialogue_score", "action_score", "travel_score", "battle_score")
+        "dialogue_score", "action_score", "description_score",
+        "travel_score", "battle_score", "reflection_score")
   }
 }

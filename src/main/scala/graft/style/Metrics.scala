@@ -70,6 +70,9 @@ object Metrics {
     math.max(1, groups)
   }
 
+  /** floor(x * 10^4 + 0.5) / 10^4 — engine-agnostic 4dp rounding. */
+  def floor4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
+
   /** Readability aggregates (Y5, metrics.py:311-360): Flesch Reading
     * Ease, Flesch-Kincaid grade, Gunning Fog. Input: one row per sentence
     * with `text`; output: one row per group.
@@ -92,13 +95,17 @@ object Metrics {
         sum(col("complex_words")).as("complex_words"))
       .withColumn("asl", col("words").cast("double") / col("sentences"))
       .withColumn("asw", col("syllables").cast("double") / col("words"))
-      .withColumn("flesch",
-        round(lit(206.835) - lit(1.015) * col("asl") - lit(84.6) * col("asw"), 4))
-      .withColumn("fk_grade",
-        round(lit(0.39) * col("asl") + lit(11.8) * col("asw") - lit(15.59), 4))
-      .withColumn("gunning_fog",
-        round(lit(0.4) * (col("asl") +
-          lit(100.0) * col("complex_words") / col("words")), 4))
+      // floor-based 4dp rounding: Spark's round() goes through
+      // Double.toString (shortest round-trip repr), which disagrees with
+      // multiply+floor engines on near-tie doubles like 4.42625 — the
+      // explicit floor form is bit-deterministic on both sides
+      .withColumn("flesch", floor4(
+        lit(206.835) - lit(1.015) * col("asl") - lit(84.6) * col("asw")))
+      .withColumn("fk_grade", floor4(
+        lit(0.39) * col("asl") + lit(11.8) * col("asw") - lit(15.59)))
+      .withColumn("gunning_fog", floor4(
+        lit(0.4) * (col("asl") +
+          lit(100.0) * col("complex_words") / col("words"))))
   }
 
   /** Vocabulary profile over a corpus of sentences (Y4, metrics.py:233-308):

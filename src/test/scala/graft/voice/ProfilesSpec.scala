@@ -1,0 +1,77 @@
+package graft.voice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** V5 top words, V8 signature phrases, V10 compare_voices, full-profile
+  * scalar fixtures (voice/profile.py, analyzer.py:189-246).
+  */
+class ProfilesSpec extends SparkSpec {
+
+  private def dlg(rows: (String, String, Boolean, Boolean)*) = {
+    import spark.implicits._
+    rows.map { case (sp, q, isQ, isE) =>
+      ("d1", 0, "p1", q, 0, sp, "said", 0.9, isQ, isE, !isQ && !isE,
+        q.length, 100)
+    }.toDF("doc_id", "pos", "passage_id", "quote", "position", "speaker",
+      "speech_verb", "attribution_confidence", "is_question",
+      "is_exclamation", "is_statement", "quote_chars", "text_chars")
+  }
+
+  test("signature phrases: repeated n-grams minus the 11 common phrases") {
+    val d = dlg(
+      ("A", "my dear fellow indeed", false, false),
+      ("A", "my dear fellow again", false, false),
+      ("A", "i am here", false, false),
+      ("A", "i am there", false, false))
+    val phrases = Profiles.signaturePhrases(d)
+      .collect().map(_.getString(2)).toSet
+    assert(phrases.contains("my dear"))
+    assert(phrases.contains("my dear fellow"))
+    assert(!phrases.contains("i am")) // common phrase excluded
+  }
+
+  test("top words: stoplist and short words filtered, count-desc rank") {
+    val d = dlg(
+      ("A", "dragon dragon dragon gold gold the the of it", false, false),
+      ("A", "dragon treasure", false, false),
+      ("A", "gold", false, false))
+    val top = Profiles.topWords(d).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(top.head == ((1, "dragon", 4L)))
+    assert(top(1) == ((2, "gold", 3L)))
+    assert(!top.exists(_._2 == "the")) // stoplist
+    assert(!top.exists(_._2 == "it")) // len <= 2
+  }
+
+  test("full profile scalars: TTR, contractions, persons, archaisms") {
+    val d = dlg(
+      ("A", "I'll tarry here, aye.", false, false),
+      ("A", "you have my word.", false, false),
+      ("A", "what say you?", true, false))
+    val p = Dialogue.voiceProfiles(spark, d).collect().head
+    val m = p.schema.fieldNames.zip(p.toSeq).toMap
+    assert(m("total_lines") == 3L)
+    assert(m("questions") == 1L)
+    assert(m("total_words") == 11L)
+    // words: i'll tarry here, aye. / you have my word. / what say you?
+    assert(m("unique_words") == 11L) // all distinct incl punctuation forms
+    assert(m("type_token_ratio") == 1.0)
+    assert(m("archaism_count") == 2L) // tarry + aye
+    // contractions: i'll; first person: i'll + my; second: you + you?->you
+    assert(m("contraction_ratio") == math.rint(1.0 / 11 * 10000) / 10000)
+    assert(m("first_person_ratio") == math.rint(2.0 / 11 * 10000) / 10000)
+    assert(m("second_person_ratio") == math.rint(2.0 / 11 * 10000) / 10000)
+  }
+
+  test("compare_voices: similarity in [0,1], identical profiles -> 1") {
+    import spark.implicits._
+    val profiles = Seq(
+      ("A", 10.0, 4L, 1L), ("B", 10.0, 4L, 1L), ("C", 2.0, 4L, 4L))
+      .toDF("speaker", "avg_words", "total_lines", "questions")
+    val c = Profiles.compareVoices(profiles).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c(("A", "B")) - 1.0) < 1e-9)
+    assert(c(("A", "C")) < c(("A", "B")))
+  }
+}
