@@ -63,8 +63,11 @@ object Bench {
     // job a cluster runs: scan -> fused extract -> aggregate. (Generating
     // the corpus in-memory inside the measured window was the one
     // non-scaling component.)
+    // content fingerprint in the cache path: regenerated testdata at the
+    // same path must not silently reuse a stale cached corpus (ADVICE r01)
+    val liLen = new java.io.File(s"$sfDir/lineitem.parquet").length()
     val corpusPath =
-      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep$rep"
+      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${rep}_$liLen"
     if (doScaling && !new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       val s = session(cpus)
       import org.apache.spark.sql.functions.{broadcast, col, concat, lit}

@@ -450,6 +450,17 @@ object Oracles {
        |  FROM syn WHERE m = 27
        |)""".stripMargin
 
+  /** Vertex table derived from entity_rows (the q32/q48 oracles' view of
+    * Pipeline.vertices): id = canonical id or new_<slug>, label = type.
+    */
+  val vertexRowsCte: String =
+    """vertex_rows AS (
+      |  SELECT DISTINCT coalesce(canonical_id,
+      |      'new_' || regexp_replace(lower(trim(text)), '[^a-z0-9]+', '_', 'g')) AS id,
+      |    entity_type AS label
+      |  FROM entity_rows
+      |)""".stripMargin
+
   /** Corpus-level distinct world rules (the lore checker's rule cache,
     * reference checker.py:221-235 over the bible's deduped rules): one row
     * per distinct lower(rule text). Derived from the planted W2 matches

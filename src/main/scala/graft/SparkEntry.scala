@@ -154,7 +154,7 @@ object SparkEntry {
     }),
     "q37_crossbook" -> ((s, dir) =>
       graft.corpus.CrossBook.resolveAll(s,
-        Pipeline.textual(s, dir), Pipeline.mentions(s, dir),
+        Pipeline.textual(s, dir), Pipeline.linked(s, dir),
         pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)))._1),
     "q38_top_entities" -> ((s, dir) => {
       val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
@@ -187,6 +187,23 @@ object SparkEntry {
         graft.lore.Temporal.timeline(s, txt),
         graft.lore.Events.fromPassages(s, txt).toDF())
     }),
+    "q46_mentioned_in" -> ((s, dir) =>
+      graft.graph.Materialize.mentionedInEdges(Pipeline.linked(s, dir))),
+    "q47_dialogue_edges" -> ((s, dir) =>
+      graft.graph.Materialize.dialogueGraph(s,
+        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())
+        ._2),
+    "q48_event_links" -> ((s, dir) =>
+      graft.graph.Materialize.eventEntityLinks(
+        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF(),
+        Pipeline.vertices(s, dir).select("id", "label"))),
+    "q43_cultures" -> ((s, dir) =>
+      graft.worldbible.WorldBible.cultures(s, Pipeline.textual(s, dir))
+        .select("people", "name", "passages")),
+    "q44_magic" -> ((s, dir) =>
+      graft.worldbible.WorldBible.magicPassages(s, Pipeline.textual(s, dir))),
+    "q45_geography" -> ((s, dir) =>
+      graft.worldbible.WorldBible.geography(s, Pipeline.textual(s, dir))),
     "q40_timeline" -> ((s, dir) =>
       graft.lore.Temporal.timeline(s, Pipeline.textual(s, dir))
         .select("name", "birth_era", "death_era")),
@@ -509,23 +526,15 @@ object SparkEntry {
   }
 
   /** The full hand-written q32 oracle. */
-  private def loreOracleSql: String = {
-    val vertexCte =
-      """vertex_rows AS (
-        |  SELECT DISTINCT coalesce(canonical_id,
-        |      'new_' || regexp_replace(lower(trim(text)), '[^a-z0-9]+', '_', 'g')) AS id,
-        |    entity_type AS label
-        |  FROM entity_rows
-        |)""".stripMargin
+  private def loreOracleSql: String =
     Oracles.overSyn(
       s""", ${Oracles.entityRowsCte},
          |${Oracles.tripleRowsCte},
          |${Oracles.ruleRowsCte},
          |${Oracles.eventRowsCte},
          |${Oracles.timelineCte},
-         |$vertexCte
+         |${Oracles.vertexRowsCte}
          |${oracleClaims.map(claimBranchSql).mkString("\nUNION ALL\n")}""".stripMargin)
-  }
 
   /** q14 readability oracle: the vowel-group syllable heuristic
     * (Metrics.syllables) re-expressed in DuckDB list functions.
@@ -888,7 +897,9 @@ object SparkEntry {
           |       count(DISTINCT (CAST(substring(er.doc_id, 5) AS BIGINT) % 4))
           |         AS books_appeared,
           |       count(*) AS total_mentions,
-          |       count(DISTINCT l2.node) AS member_count
+          |       count(DISTINCT l2.node) AS member_count,
+          |       greatest(count(DISTINCT CASE WHEN er.entity_type <> 'unknown'
+          |                      THEN er.entity_type END) - 1, 0) AS type_conflicts
           |FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
           |GROUP BY 1""".stripMargin),
       "q38_top_entities" -> withClusters(
@@ -979,6 +990,64 @@ object SparkEntry {
            |       ${Oracles.eSubj} || ' cannot wield such magic openly', 'magic'
            |FROM syn WHERE m = 26 AND v % 2 = 1""".stripMargin),
       "q32_lore_checks" -> loreOracleSql,
+      "q46_mentioned_in" -> Oracles.overSyn(
+        s""", ${Oracles.entityRowsCte}
+           |SELECT coalesce(canonical_id,
+           |         'new_' || regexp_replace(lower(trim(text)), '[^a-z0-9]+', '_', 'g')) AS src,
+           |       'p_' || doc_id || '_s' || pos AS dst,
+           |       count(*) AS mention_count,
+           |       'MENTIONED_IN' AS type
+           |FROM entity_rows GROUP BY 1, 2""".stripMargin),
+      "q47_dialogue_edges" -> withDialogue(
+        """SELECT lower(speaker) AS src,
+          |       'p_' || doc_id || '_s' || pos || '#0' AS dst,
+          |       'SPEAKS' AS type
+          |FROM dlg WHERE speaker IS NOT NULL
+          |UNION ALL
+          |SELECT 'p_' || doc_id || '_s' || pos || '#0',
+          |       'p_' || doc_id || '_s' || pos, 'IN_PASSAGE'
+          |FROM dlg""".stripMargin),
+      "q48_event_links" -> Oracles.overSyn(
+        s""", ${Oracles.entityRowsCte},
+           |${Oracles.eventRowsCte},
+           |${Oracles.vertexRowsCte},
+           |ev AS (SELECT DISTINCT event_id, lower(agent) AS agent,
+           |                       lower(patient) AS patient
+           |       FROM event_rows)
+           |SELECT src, dst, type, role FROM (
+           |  SELECT v.id AS src, e.event_id AS dst,
+           |         'PARTICIPATED_IN' AS type, 'agent' AS role,
+           |         row_number() OVER (PARTITION BY e.event_id
+           |                            ORDER BY v.id ASC) AS rn
+           |  FROM ev e JOIN vertex_rows v
+           |    ON v.label = 'character' AND lower(v.id) LIKE '%' || e.agent || '%'
+           |) WHERE rn = 1
+           |UNION ALL
+           |SELECT src, dst, type, role FROM (
+           |  SELECT v.id AS src, e.event_id AS dst,
+           |         'INVOLVED_IN' AS type, 'patient' AS role,
+           |         row_number() OVER (PARTITION BY e.event_id
+           |                            ORDER BY CASE v.label WHEN 'character' THEN 0
+           |                                     WHEN 'place' THEN 1 ELSE 2 END,
+           |                                     v.id ASC) AS rn
+           |  FROM ev e JOIN vertex_rows v
+           |    ON v.label IN ('character', 'place', 'object')
+           |   AND lower(v.id) LIKE '%' || e.patient || '%'
+           |) WHERE rn = 1""".stripMargin),
+      "q43_cultures" -> Oracles.overSyn(
+        s"""SELECT people,
+           |       upper(substring(people, 1, 1)) || substring(people, 2) AS name,
+           |       passages FROM (
+           |  SELECT ${Oracles.ePeople} AS people, count(*) AS passages
+           |  FROM syn WHERE m = 25 GROUP BY 1
+           |) WHERE passages >= 2""".stripMargin),
+      "q44_magic" -> Oracles.overSyn(
+        """SELECT doc_id, pos,
+          |       CASE WHEN v % 2 = 1 THEN 'limitation' ELSE 'ability' END AS kind
+          |FROM syn WHERE m = 26""".stripMargin),
+      "q45_geography" -> Oracles.overSyn(
+        s"""SELECT ${Oracles.ePlace} AS name, count(*) AS passages
+           |FROM syn WHERE m = 24 GROUP BY 1""".stripMargin),
       "q40_timeline" -> Oracles.overSyn(
         s", ${Oracles.timelineCte}\n" +
           "SELECT name, birth_era, death_era FROM timeline_rows"),

@@ -40,14 +40,43 @@ object CrossBook {
     val (assignment, _) =
       ConnectedComponents.run(spark, nodes, eFuzzy.union(eAlias).distinct())
 
-    val entities = m.join(assignment, Seq("node"))
+    // X4 type-conflict tracking (resolver.py:329-339): clusters whose
+    // member mentions carry more than one known entity type. Batch
+    // re-expression of the reference's per-merge conflict rows:
+    // conflicts = (# distinct non-unknown types) - 1, floored at 0.
+    // Requires the input mentions to carry entity_type (linked mentions);
+    // raw mentions degrade gracefully to 0 conflicts.
+    val typed =
+      if (m.columns.contains("entity_type")) m
+      else m.withColumn("entity_type", lit("unknown"))
+    val entities = typed.join(assignment, Seq("node"))
       .groupBy(col("cluster").as("entity"))
       .agg(
         countDistinct(col("book")).as("books_appeared"),
         count(lit(1)).as("total_mentions"),
-        countDistinct(col("node")).as("member_count"))
+        countDistinct(col("node")).as("member_count"),
+        greatest(
+          countDistinct(when(col("entity_type") =!= "unknown",
+            col("entity_type"))) - 1,
+          lit(0L)).as("type_conflicts"))
     (entities, assignment)
   }
+
+  /** X4 book_clusters map (resolver.py:22-66): per cross-book entity, the
+    * per-book representative member (min node key within the book — the
+    * deterministic stand-in for the reference's per-book cluster ids).
+    */
+  def bookClusters(
+      mentionsWithBook: DataFrame,
+      assignment: DataFrame): DataFrame =
+    mentionsWithBook
+      .withColumn("node", Linker.cleanKey(col("text")))
+      .join(assignment, Seq("node"))
+      .groupBy(col("cluster").as("entity"), col("book"))
+      .agg(min(col("node")).as("book_cluster"))
+      .groupBy("entity")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("book"), col("book_cluster"))))).as("book_clusters"))
 
   /** X6: entities appearing in more than one book. */
   def multiBookEntities(entities: DataFrame): DataFrame =

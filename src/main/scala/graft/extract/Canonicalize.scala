@@ -152,6 +152,56 @@ object Canonicalize {
     ConnectedComponents.run(spark, nodes, e)
   }
 
+  /** D8 dynamic-registry resolve (dynamic_resolver.py:352-389): resolve
+    * free text against a post-CC assignment — exact key (conf 1.0) ->
+    * article-stripped (0.95) -> best fuzzy >= 0.85 (conf = ratio). The
+    * registry side is broadcast; adds (cluster, resolve_confidence) to the
+    * input, nulls when unresolved.
+    */
+  def resolve(
+      spark: SparkSession,
+      texts: DataFrame,
+      assignment: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
+    val reg = broadcast(assignment.select(
+      col("node").as("rkey"), col("cluster").as("rcluster")))
+    val m = texts
+      .withColumn("qkey", Linker.cleanKey(col("text")))
+      .withColumn("qkey2", Linker.stripArticle(Linker.cleanKey(col("text"))))
+
+    val t1 = m.join(reg, col("qkey") === col("rkey"), "left")
+    val hit1 = t1.filter(col("rcluster").isNotNull)
+      .withColumn("resolve_confidence", lit(1.0))
+    val miss1 = t1.filter(col("rcluster").isNull).drop("rkey", "rcluster")
+
+    val t2 = miss1.join(reg, col("qkey2") === col("rkey"), "left")
+    val hit2 = t2.filter(col("rcluster").isNotNull)
+      .withColumn("resolve_confidence", lit(0.95))
+    val miss2 = t2.filter(col("rcluster").isNull).drop("rkey", "rcluster")
+
+    val cand = miss2.join(reg,
+        substring(col("qkey"), 1, 1) === substring(col("rkey"), 1, 1) &&
+          abs(length(col("qkey")) - length(col("rkey"))) <= 3, "left")
+      .withColumn("ratio",
+        when(col("rkey").isNotNull, ratioUdf(col("qkey"), col("rkey"))))
+      .withColumn("ok", col("ratio") >= 0.85)
+    val w = Window.partitionBy("qkey")
+      .orderBy(col("ok").desc_nulls_last, col("ratio").desc_nulls_last,
+        col("rcluster").asc_nulls_last)
+    val t3 = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rcluster",
+        when(col("ok").isNotNull && col("ok"), col("rcluster")))
+      .withColumn("resolve_confidence",
+        when(col("ok").isNotNull && col("ok"), col("ratio")))
+      .drop("rn", "ratio", "ok")
+
+    hit1.unionByName(hit2)
+      .unionByName(t3, allowMissingColumns = false)
+      .withColumnRenamed("rcluster", "cluster")
+      .drop("rkey", "qkey", "qkey2")
+  }
+
   /** Cluster registry: representative name = first-seen mention text by
     * (doc_id, pos, start); sizes and mention counts per cluster.
     */

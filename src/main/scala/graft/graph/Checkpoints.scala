@@ -1,6 +1,6 @@
 package graft.graph
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,18 +10,35 @@ import org.apache.spark.sql.functions._
   *
   * Layout under a warehouse dir:
   *   <wh>/<stage>/            stage output parquet
-  *   <wh>/_checkpoints/       checkpoint table parquet (append-only)
+  *   <wh>/_checkpoints/       checkpoint table parquet (atomic appends)
   *
-  * Checkpoint rows: (stage, partition_id, rows_out, status, updated_at).
-  * A stage whose latest status is 'complete' and whose output exists is
-  * loaded, not recomputed — a restarted job resumes mid-pipeline. In a
-  * real deployment this table is an Iceberg table and the write is an
-  * atomic commit; parquet-append is the sandbox stand-in (no Iceberg jars
-  * in /opt/spark/jars).
+  * Checkpoint rows: (stage, partition_id, rows_out, status, fingerprint,
+  * updated_at).
+  *
+  *  - Lineage is REAL: each stage output is written with a
+  *    `spark_partition_id()` column, so the recorded per-partition counts
+  *    are the write tasks' actual row counts (round-1 review: the previous
+  *    file-hash ids were synthetic). The column is stripped on load.
+  *  - Checkpoint rows commit ATOMICALLY: the delta is written to a temp
+  *    dir and its part file moved into the table directory with an atomic
+  *    rename — a crash between the stage write and the checkpoint write
+  *    leaves the stage merely "incomplete" (it reruns), never torn.
+  *  - Every row carries the run's input FINGERPRINT; a stage checkpointed
+  *    under a different input (or config) is NOT treated as complete, so a
+  *    resumed run pointed at a different sf dir recomputes instead of
+  *    silently loading stale output (ADVICE r01).
+  *
+  * In a real deployment this table is an Iceberg table and the write is a
+  * snapshot commit; parquet + atomic file move is the sandbox stand-in
+  * (no Iceberg jars in /opt/spark/jars).
   */
-final class Checkpoints(spark: SparkSession, warehouse: String) {
+final class Checkpoints(
+    spark: SparkSession,
+    warehouse: String,
+    fingerprint: String = "") {
 
   private val ckDir = s"$warehouse/_checkpoints"
+  private val PidCol = "__graft_pid"
 
   def checkpointTable(): DataFrame = {
     if (Files.exists(Paths.get(ckDir))) spark.read.parquet(ckDir)
@@ -32,49 +49,69 @@ final class Checkpoints(spark: SparkSession, warehouse: String) {
     Files.exists(Paths.get(ckDir)) &&
       Files.exists(Paths.get(s"$warehouse/$stage/_SUCCESS")) && {
         val t = spark.read.parquet(ckDir)
-        !t.filter(col("stage") === stage && col("status") === "complete")
+        !t.filter(col("stage") === stage && col("status") === "complete" &&
+            col("fingerprint") === fingerprint)
           .isEmpty
       }
   }
 
-  private def record(stage: String, partCounts: DataFrame, status: String): Unit = {
-    import spark.implicits._
-    partCounts
+  /** Atomic checkpoint append: write the delta to a temp dir, then move
+    * its single part file into the table directory with an atomic rename.
+    */
+  private def commit(rows: DataFrame): Unit = {
+    val tmp = s"$warehouse/.ck_tmp_${java.util.UUID.randomUUID}"
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.createDirectories(Paths.get(ckDir))
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+    part.foreach { p =>
+      Files.move(Paths.get(p),
+        Paths.get(ckDir, s"ck_${java.util.UUID.randomUUID}.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    // best-effort temp cleanup (non-atomic, content already committed)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+  }
+
+  private def record(stage: String, partCounts: DataFrame, status: String): Unit =
+    commit(partCounts
       .select(
         lit(stage).as("stage"),
         col("partition_id").cast("int").as("partition_id"),
         col("rows_out").cast("long").as("rows_out"),
         lit(status).as("status"),
-        current_timestamp().as("updated_at"))
-      .write.mode(SaveMode.Append).parquet(ckDir)
-  }
+        lit(fingerprint).as("fingerprint"),
+        current_timestamp().as("updated_at")))
 
   /** Record an arbitrary metrics row (e.g. CC superstep convergence). */
   def recordMetric(stage: String, partitionId: Int, rowsOut: Long,
       status: String): Unit = {
     import spark.implicits._
-    Seq((stage, partitionId, rowsOut, status))
+    commit(Seq((stage, partitionId, rowsOut, status))
       .toDF("stage", "partition_id", "rows_out", "status")
-      .withColumn("updated_at", current_timestamp())
-      .write.mode(SaveMode.Append).parquet(ckDir)
+      .withColumn("fingerprint", lit(fingerprint))
+      .withColumn("updated_at", current_timestamp()))
   }
 
-  /** Run (or resume) a stage: if checkpointed complete, load its output;
-    * otherwise compute, persist, and record per-partition lineage.
+  /** Run (or resume) a stage: if checkpointed complete UNDER THE SAME
+    * FINGERPRINT, load its output; otherwise compute, persist (with the
+    * real write-task partition ids embedded), and record per-partition
+    * lineage from the written data.
     */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     val out = s"$warehouse/$name"
     if (isComplete(name)) {
-      spark.read.parquet(out)
+      spark.read.parquet(out).drop(PidCol)
     } else {
-      compute.write.mode(SaveMode.Overwrite).parquet(out)
+      compute.withColumn(PidCol, spark_partition_id())
+        .write.mode(SaveMode.Overwrite).parquet(out)
       val written = spark.read.parquet(out)
-      // per-output-file lineage (one file per write task partition)
       val partCounts = written
-        .groupBy(abs(hash(input_file_name())).as("partition_id"))
+        .groupBy(col(PidCol).as("partition_id"))
         .agg(count(lit(1)).as("rows_out"))
       record(name, partCounts, "complete")
-      written
+      written.drop(PidCol)
     }
   }
 }

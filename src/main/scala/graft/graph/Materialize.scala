@@ -125,12 +125,122 @@ object Materialize {
       Seq("id"), "left")
   }
 
+  /** G4 MENTIONED_IN edges (writer.py:264-284): entity -> passage with a
+    * per-pair mention count, MERGE-with-aggregate semantics.
+    */
+  def mentionedInEdges(linked: DataFrame): DataFrame = {
+    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
+    linked
+      .withColumn("vid",
+        coalesce(col("canonical_id"), concat(lit("new_"), slug)))
+      .groupBy(col("vid").as("src"), col("passage_id").as("dst"))
+      .agg(count(lit(1)).as("mention_count"))
+      .withColumn("type", lit("MENTIONED_IN"))
+  }
+
+  /** G9 DialogueLine vertices + SPEAKS / IN_PASSAGE edges
+    * (writer.py:516-559): line id = passage_id # position, text truncated
+    * to 500 chars, word count attached; speaker ids resolved through the
+    * G10 name->id map with the char_<slug> fallback.
+    */
+  def dialogueGraph(
+      spark: SparkSession,
+      dialogue: DataFrame): (DataFrame, DataFrame) = {
+    val lk = spark.sparkContext.broadcast(
+      new graft.extract.LocalLinker(graft.extract.Seeds.default))
+    val resolveId = udf((speaker: String) =>
+      lk.value.lookup(speaker).map(_._1).getOrElse(
+        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
+    val lines = dialogue
+      .withColumn("line_id",
+        concat(col("passage_id"), lit("#"), col("position")))
+    val vertices = lines.select(
+      col("line_id").as("id"),
+      substring(col("quote"), 1, 500).as("text"),
+      col("is_question"), col("is_exclamation"),
+      size(split(trim(col("quote")), "\\s+")).as("word_count"))
+    val speaks = lines
+      .filter(col("speaker").isNotNull)
+      .select(resolveId(col("speaker")).as("src"),
+        col("line_id").as("dst"), lit("SPEAKS").as("type"))
+    val inPassage = lines.select(col("line_id").as("src"),
+      col("passage_id").as("dst"), lit("IN_PASSAGE").as("type"))
+    (vertices, speaks.unionByName(inPassage))
+  }
+
+  /** G11 event vertex MERGE (writer.py:617-701): one row per event id,
+    * description = "agent action patient", first-seen era/year, mention
+    * count.
+    */
+  def eventVertices(events: DataFrame): DataFrame = {
+    val seen = concat(col("doc_id"), lit("#"),
+      lpad(col("pos").cast("string"), 6, "0"))
+    events
+      .groupBy(col("event_id").as("id"))
+      .agg(
+        min_by(concat_ws(" ", col("agent"), col("action"), col("patient")),
+          seen).as("description"),
+        min_by(col("agent"), seen).as("agent"),
+        min_by(col("action"), seen).as("action"),
+        min_by(col("patient"), seen).as("patient"),
+        min_by(col("era"), seen).as("era"),
+        min_by(col("year"), seen).as("year"),
+        count(lit(1)).as("mention_count"))
+  }
+
+  /** G12 event-relation edges with the reference's type sanitization
+    * (writer.py:722-723: uppercase, non-alnum -> '_').
+    */
+  def eventRelationEdges(relations: DataFrame): DataFrame =
+    relations.select(
+      col("event1_id").as("src"),
+      col("event2_id").as("dst"),
+      regexp_replace(upper(col("relation")), "[^A-Z0-9_]", "_").as("type"),
+      col("confidence"))
+
+  /** G13 link_event_to_entities (writer.py:752-806): containment join with
+    * label priority — the event agent links to ONE character
+    * (PARTICIPATED_IN/agent), the patient to the first of
+    * character > place > object (INVOLVED_IN/patient); deterministic
+    * first-hit = min vertex id (the reference's unordered LIMIT 1 made
+    * deterministic).
+    */
+  def eventEntityLinks(events: DataFrame, vertices: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = eventVertices(events)
+      .select(col("id").as("event_id"), col("agent"), col("patient"))
+    val chars = vertices.filter(col("label") === "character")
+      .select(col("id").as("vid"), col("label"))
+    val agentLinks = ev.join(chars,
+        lower(col("vid")).contains(lower(col("agent"))), "inner")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(col("vid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vid").as("src"), col("event_id").as("dst"),
+        lit("PARTICIPATED_IN").as("type"), lit("agent").as("role"))
+    val prio = when(col("label") === "character", 0)
+      .when(col("label") === "place", 1).otherwise(2)
+    val targets = vertices.filter(col("label").isin("character", "place", "object"))
+      .select(col("id").as("vid"), col("label"))
+    val patientLinks = ev.join(targets,
+        lower(col("vid")).contains(lower(col("patient"))), "inner")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(prio, col("vid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vid").as("src"), col("event_id").as("dst"),
+        lit("INVOLVED_IN").as("type"), lit("patient").as("role"))
+    agentLinks.unionByName(patientLinks)
+  }
+
   /** Run the full KG-construction pipeline through the checkpointed stage
     * runner; returns the final edge table. Resume-safe: stages already
     * complete in the warehouse are loaded, not recomputed.
     */
   def runAll(spark: SparkSession, sfDir: String, warehouse: String): DataFrame = {
-    val ck = new Checkpoints(spark, warehouse)
+    // input fingerprint: sf dir + source parquet size — a resumed run
+    // against different input must recompute, not load stale stages
+    val li = new java.io.File(s"$sfDir/lineitem.parquet")
+    val ck = new Checkpoints(spark, warehouse, s"$sfDir#${li.length}")
 
     val passages = ck.stage("passages") { Pipeline.textual(spark, sfDir) }
     val mentions = ck.stage("mentions") {
@@ -151,11 +261,24 @@ object Materialize {
     val vertices = ck.stage("vertices") { vertexDelta(linked) }
     ck.stage("passage_vertices") { passageVertices(passages, triples) }
     ck.stage("book_style") { bookStyle(spark, passages) }
+    val dialogue = ck.stage("dialogue") {
+      graft.voice.Dialogue.fromPassages(spark, passages).toDF()
+    }
     ck.stage("character_voice") {
       characterVoice(spark, vertices,
-        graft.voice.Dialogue.voiceProfiles(spark,
-          graft.voice.Dialogue.fromPassages(spark, passages).toDF()))
+        graft.voice.Dialogue.voiceProfiles(spark, dialogue))
     }
+    ck.stage("mentioned_in") { mentionedInEdges(linked) }
+    ck.stage("dialogue_vertices") { dialogueGraph(spark, dialogue)._1 }
+    ck.stage("dialogue_edges") { dialogueGraph(spark, dialogue)._2 }
+    val events = ck.stage("events") {
+      graft.lore.Events.fromPassages(spark, passages).toDF()
+    }
+    ck.stage("event_vertices") { eventVertices(events) }
+    ck.stage("event_relations") {
+      eventRelationEdges(graft.lore.Events.inferOrdering(events))
+    }
+    ck.stage("event_entity_links") { eventEntityLinks(events, vertices) }
     ck.stage("edges") { edgeDelta(triples) }
   }
 }

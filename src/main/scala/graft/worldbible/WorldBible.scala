@@ -168,6 +168,128 @@ object WorldBible {
   val RuleNames: Set[String] = Set(
     "capability", "definition", "exclusivity", "prohibition", "always_never")
 
+  /** Peoples keyword groups (W8, extractor.py:306-313). */
+  val PeoplesKeywords: Seq[(String, Seq[String])] = Seq(
+    "hobbits" -> Seq("hobbit", "halfling", "shire-folk"),
+    "elves" -> Seq("elf", "elves", "elvish", "eldar"),
+    "dwarves" -> Seq("dwarf", "dwarves", "dwarvish"),
+    "men" -> Seq("men", "mankind", "mortal men"),
+    "orcs" -> Seq("orc", "orcs", "goblin", "goblins"),
+    "wizards" -> Seq("wizard", "wizards", "istari"))
+
+  import org.apache.spark.sql.functions._
+
+  /** Passages carrying a given world-bible category score — the
+    * by_category grouping of the reference pipeline (extractor.py:127-133).
+    */
+  private def categorized(
+      spark: SparkSession, passages: DataFrame, category: String): DataFrame =
+    passages.join(
+      categories(spark, passages)
+        .filter(col("category") === category)
+        .select("doc_id", "pos"),
+      Seq("doc_id", "pos"), "left_semi")
+
+  /** W8 cultures (extractor.py:302-349): culture-categorized passages
+    * bucketed by substring people-keyword groups; groups with >= 2
+    * passages become cultural profiles (the reference's values/customs
+    * extraction is a no-op). A passage may join several groups, exactly
+    * like the reference's loop.
+    */
+  def cultures(spark: SparkSession, passages: DataFrame): DataFrame = {
+    val cult = categorized(spark, passages, "culture")
+      .withColumn("lw", lower(col("text")))
+    val grouped = PeoplesKeywords.map { case (people, kws) =>
+      cult.filter(kws.map(k => col("lw").contains(k)).reduce(_ || _))
+        .select(lit(people).as("people"), col("doc_id"), col("pos"))
+    }.reduce(_ unionByName _)
+    grouped.groupBy("people")
+      .agg(count(lit(1)).as("passages"))
+      .filter(col("passages") >= 2)
+      .withColumn("name", initcap(col("people")))
+  }
+
+  /** W9 magic systems (extractor.py:351-381): magic-categorized passages
+    * split into limitations (cannot/forbidden) vs abilities
+    * (can/able/power); passages matching neither are source-only.
+    * Per-row classification — the assembled single system is
+    * [[magicSystem]].
+    */
+  def magicPassages(spark: SparkSession, passages: DataFrame): DataFrame =
+    categorized(spark, passages, "magic")
+      .withColumn("lw", lower(col("text")))
+      .withColumn("kind",
+        when(col("lw").contains("cannot") || col("lw").contains("forbidden"),
+          "limitation")
+          .when(Seq("can", "able", "power")
+            .map(w => col("lw").contains(w)).reduce(_ || _), "ability"))
+      .filter(col("kind").isNotNull)
+      .select("doc_id", "pos", "kind")
+
+  /** The reference's single assembled MagicSystem row: first-5 ability and
+    * limitation texts in (doc_id, pos) order, 100-char truncated
+    * (extractor.py:368-381).
+    */
+  def magicSystem(spark: SparkSession, passages: DataFrame): DataFrame = {
+    val rows = categorized(spark, passages, "magic")
+      .withColumn("lw", lower(col("text")))
+      .withColumn("kind",
+        when(col("lw").contains("cannot") || col("lw").contains("forbidden"),
+          "limitation")
+          .when(Seq("can", "able", "power")
+            .map(w => col("lw").contains(w)).reduce(_ || _), "ability"))
+      .withColumn("seen", concat(col("doc_id"), lit("#"),
+        lpad(col("pos").cast("string"), 6, "0")))
+      .withColumn("t", substring(col("text"), 1, 100))
+    rows.agg(
+        slice(array_sort(collect_list(when(col("kind") === "ability",
+          struct(col("seen"), col("t"))))), 1, 5).as("a5"),
+        slice(array_sort(collect_list(when(col("kind") === "limitation",
+          struct(col("seen"), col("t"))))), 1, 5).as("l5"),
+        count(lit(1)).as("source_passages"))
+      .select(lit("general_magic").as("id"), lit("Magic").as("name"),
+        expr("transform(a5, x -> x.t)").as("abilities"),
+        expr("transform(l5, x -> x.t)").as("limitations"),
+        col("source_passages"))
+  }
+
+  /** W10 geography (extractor.py:383-416): "X is/lies/stands in/near Y"
+    * regex over geography-categorized passages; named entries (len > 2,
+    * capitalized) grouped, top-20 by (passages desc, name asc) — the
+    * deterministic stand-in for the reference's insertion-order [:20].
+    */
+  private val LocationPattern = Pattern.compile(
+    """(the\s+)?([\w\s]+)\s+(is|was|lies|stands?)\s+(in|on|near|by|at)\s+""",
+    Pattern.CASE_INSENSITIVE)
+
+  def geography(spark: SparkSession, passages: DataFrame): DataFrame = {
+    import spark.implicits._
+    val geo = categorized(spark, passages, "geography")
+    val names = geo.select("doc_id", "pos", "text").as[(String, Int, String)]
+      .mapPartitions(_.flatMap { case (d, p, t) =>
+        val m = LocationPattern.matcher(t)
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+        while (m.find()) {
+          val name = m.group(2).trim
+          if (name.length > 2 && name.head.isUpper) b += ((d, p, name))
+        }
+        b
+      }).toDF("doc_id", "pos", "name")
+    names.groupBy("name")
+      .agg(count(lit(1)).as("passages"))
+      .orderBy(col("passages").desc, col("name").asc)
+      .limit(20)
+  }
+
+  /** W11 search_rules (models.py:295-305): case-insensitive substring
+    * search over the rules table's text and category.
+    */
+  def searchRules(rules: DataFrame, query: String): DataFrame = {
+    val q = query.toLowerCase
+    rules.filter(lower(col("rule_text")).contains(q) ||
+      lower(col("category")).contains(q))
+  }
+
   /** Spark stage: per-passage category scores. */
   def categories(spark: SparkSession, passages: DataFrame): DataFrame = {
     import spark.implicits._

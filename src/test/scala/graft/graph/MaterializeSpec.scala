@@ -63,5 +63,28 @@ class MaterializeSpec extends SparkSpec {
       .orderBy(col("partition_id").desc).limit(1)
       .select("rows_out").collect()(0).getLong(0)
     assert(last == 0L)
+    // lineage partition ids are REAL write-task ids: one per part file
+    val partFiles = new java.io.File(s"$wh/passages").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val ckParts = ck.filter(col("stage") === "passages")
+      .select("partition_id").distinct().count()
+    assert(ckParts == partFiles.toLong,
+      s"lineage partitions $ckParts != part files $partFiles")
+  }
+
+  test("fingerprint mismatch: stages recompute instead of loading stale output") {
+    val wh = Files.createTempDirectory("graft_wh3").toString
+    import spark.implicits._
+    val ck1 = new Checkpoints(spark, wh, "input_v1")
+    ck1.stage("s") { Seq(1, 2, 3).toDF("x") }
+    val f = new java.io.File(s"$wh/s/_SUCCESS")
+    val mtime = f.lastModified()
+    // same fingerprint -> loaded, not recomputed
+    val ck1b = new Checkpoints(spark, wh, "input_v1")
+    assert(ck1b.stage("s") { Seq(9).toDF("x") }.count() == 3)
+    assert(f.lastModified() == mtime)
+    // different fingerprint -> recomputed
+    val ck2 = new Checkpoints(spark, wh, "input_v2")
+    assert(ck2.stage("s") { Seq(9).toDF("x") }.count() == 1)
   }
 }
