@@ -197,6 +197,18 @@ object SparkEntry {
       graft.graph.Materialize.eventEntityLinks(
         graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF(),
         Pipeline.vertices(s, dir).select("id", "label"))),
+    "q49_fingerprint" -> ((s, dir) =>
+      graft.style.Fingerprint.assemble(s,
+        Pipeline.textual(s, dir)
+          .withColumn("corpus",
+            pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L))),
+        "corpus")),
+    "q50_word_lengths" -> ((s, dir) =>
+      graft.style.Fingerprint.wordLengthDistribution(
+        Pipeline.textual(s, dir)
+          .withColumn("corpus",
+            pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L))),
+        "corpus")),
     "q43_cultures" -> ((s, dir) =>
       graft.worldbible.WorldBible.cultures(s, Pipeline.textual(s, dir))
         .select("people", "name", "passages")),
@@ -539,40 +551,167 @@ object SparkEntry {
   /** q14 readability oracle: the vowel-group syllable heuristic
     * (Metrics.syllables) re-expressed in DuckDB list functions.
     */
-  private def readabilityOracleSql: String = {
+  private def readabilityOracleSql: String =
+    Oracles.overSyn(readabilityCtes("doc_id", "doc_id") +
+      "\nSELECT * FROM readability")
+
+  /** Readability CTEs ending in `readability(<groupAlias>, sentences,
+    * words, syllables, complex_words, flesch, fk_grade, gunning_fog)`.
+    */
+  private def readabilityCtes(groupExpr: String, groupAlias: String): String = {
     val w = "regexp_replace(lower(w0), '[^a-z]', '', 'g')"
     val syll = "CASE WHEN length(w) = 0 THEN 0 ELSE greatest(1, len(regexp_extract_all(w, '[aeiouy]+')) - CASE WHEN w LIKE '%e' AND NOT w LIKE '%le' AND len(regexp_extract_all(w, '[aeiouy]+')) > 1 THEN 1 ELSE 0 END) END"
-    Oracles.overSyn(
+    (
       s""", toks AS (
-         |  SELECT doc_id, pos,
+         |  SELECT $groupExpr AS $groupAlias, pos,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
          |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc,
          |         list_transform(regexp_split_to_array(trim(text), '\\s+'),
          |                        w0 -> $w) AS ws
          |  FROM syn WHERE kind <> 'media'
          |), sylls AS (
-         |  SELECT doc_id, pos, wc,
+         |  SELECT $groupAlias, pos, wc,
          |    list_sum(list_transform(ws, w -> $syll)) AS syll,
          |    len(list_filter(ws, w -> ($syll) >= 3)) AS cw
          |  FROM toks
-         |)
-         |SELECT doc_id, count(*) AS sentences,
-         |  CAST(sum(wc) AS BIGINT) AS words,
-         |  CAST(sum(coalesce(syll, 0)) AS BIGINT) AS syllables,
-         |  CAST(sum(cw) AS BIGINT) AS complex_words,
-         |  floor((206.835 - 1.015 * (sum(wc)::DOUBLE / count(*))
-         |        - 84.6 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS flesch,
-         |  floor((0.39 * (sum(wc)::DOUBLE / count(*))
-         |        + 11.8 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc)) - 15.59) * 10000 + 0.5) / 10000.0 AS fk_grade,
-         |  floor((0.4 * ((sum(wc)::DOUBLE / count(*))
-         |        + 100.0 * sum(cw)::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS gunning_fog
-         |FROM sylls GROUP BY 1""".stripMargin)
+         |), readability AS (
+         |  SELECT $groupAlias, count(*) AS sentences,
+         |    CAST(sum(wc) AS BIGINT) AS words,
+         |    CAST(sum(coalesce(syll, 0)) AS BIGINT) AS syllables,
+         |    CAST(sum(cw) AS BIGINT) AS complex_words,
+         |    floor((206.835 - 1.015 * (sum(wc)::DOUBLE / count(*))
+         |          - 84.6 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS flesch,
+         |    floor((0.39 * (sum(wc)::DOUBLE / count(*))
+         |          + 11.8 * (sum(coalesce(syll, 0))::DOUBLE / sum(wc)) - 15.59) * 10000 + 0.5) / 10000.0 AS fk_grade,
+         |    floor((0.4 * ((sum(wc)::DOUBLE / count(*))
+         |          + 100.0 * sum(cw)::DOUBLE / sum(wc))) * 10000 + 0.5) / 10000.0 AS gunning_fog
+         |  FROM sylls GROUP BY 1
+         |)""".stripMargin)
   }
 
   /** q34 classifier oracle: the six scorers re-implemented in SQL over the
     * raw text (an independent derivation, not planted-template branches).
     */
-  private def classifierOracleSql: String = {
+  private def classifierOracleSql: String =
+    Oracles.overSyn(classifierCtes +
+      s"""
+         |SELECT p.doc_id, p.pos,
+         |  CASE WHEN p.score < 0.5 THEN 'unknown' ELSE p.name END AS primary_type,
+         |  round(CASE WHEN p.score < 0.5 THEN 0.0
+         |             WHEN p.total > 0 THEN least(1.0, p.score / p.total)
+         |             ELSE 0.0 END, 4) AS confidence,
+         |  CASE WHEN sx.score > 0.3 THEN sx.name END AS secondary_type,
+         |  round(p.s0, 4) AS dialogue_score,
+         |  round(p.s1, 4) AS action_score,
+         |  round(p.s2, 4) AS description_score,
+         |  round(p.s3, 4) AS travel_score,
+         |  round(p.s4, 4) AS battle_score,
+         |  round(p.s5, 4) AS reflection_score
+         |FROM ranked p JOIN ranked sx
+         |  ON p.doc_id = sx.doc_id AND p.pos = sx.pos
+         |WHERE p.rn = 1 AND sx.rn = 2""".stripMargin)
+
+  /** q49 fingerprint oracle: sentence-metric ratios + readability +
+    * vocabulary + classifier passage-type shares, all per corpus.
+    */
+  private def fingerprintOracleSql: String = {
+    val corpus = "CAST(substring(doc_id, 5) AS BIGINT) % 2"
+    val f4 = (x: String) => s"floor(($x) * 10000 + 0.5) / 10000.0"
+    val subs = "(CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwhich\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwho\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bbecause\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwhen\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bwhile\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\balthough\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bif\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bsince\\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lower(text), '\\bunless\\b') THEN 1 ELSE 0 END)"
+    val smx =
+      s""", smx AS (
+         |  SELECT $corpus AS corpus,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc,
+         |    length(text) AS cc,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?"''\\-]', '', 'g')) AS punct,
+         |    (text LIKE '%?') AS is_q, (text LIKE '%!') AS is_e,
+         |    (text LIKE '%"%' OR text LIKE '%“%') AS has_d,
+         |    regexp_matches(text, '\\b(was|were|been|is|are|be)\\s+\\w+(ed|en)\\b') AS is_p,
+         |    ($subs) AS subs
+         |  FROM syn WHERE kind <> 'media'
+         |), smagg AS (
+         |  SELECT corpus, count(*) AS sentences,
+         |    CAST(sum(wc) AS BIGINT) AS word_count,
+         |    ${f4("avg(wc)")} AS sentence_len_mean,
+         |    ${f4("coalesce(stddev_samp(wc), 0.0)")} AS sentence_len_std,
+         |    ${f4("avg(CASE WHEN wc > 0 THEN nospace::DOUBLE / wc ELSE 0.0 END)")} AS word_len_mean,
+         |    ${f4("avg(punct::DOUBLE / greatest(cc, 1))")} AS punct_density_mean,
+         |    ${f4("avg(subs)")} AS clause_depth_mean,
+         |    ${f4("avg(CASE WHEN has_d THEN 1.0 ELSE 0.0 END)")} AS dialogue_ratio,
+         |    ${f4("avg(CASE WHEN is_p THEN 1.0 ELSE 0.0 END)")} AS passive_voice_ratio,
+         |    ${f4("avg(CASE WHEN is_q THEN 1.0 ELSE 0.0 END)")} AS question_ratio,
+         |    ${f4("avg(CASE WHEN is_e THEN 1.0 ELSE 0.0 END)")} AS exclamation_ratio
+         |  FROM smx GROUP BY 1
+         |)""".stripMargin
+    val vocab =
+      s""", toksv AS (
+         |  SELECT $corpus AS corpus,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z'']+')) AS word
+         |  FROM syn WHERE kind <> 'media'
+         |), wcounts AS (
+         |  SELECT corpus, word, count(*) AS cnt FROM toksv
+         |  WHERE length(word) > 0 GROUP BY 1, 2
+         |), capsv AS (
+         |  SELECT DISTINCT $corpus AS corpus, lower(w) AS word FROM (
+         |    SELECT doc_id,
+         |           unnest(regexp_split_to_array(text, '[^A-Za-z'']+')) AS w
+         |    FROM syn WHERE kind <> 'media')
+         |  WHERE length(w) > 0 AND regexp_matches(substring(w, 1, 1), '[A-Z]')
+         |), inv AS (
+         |  SELECT c.corpus, count(*) AS invented_count
+         |  FROM wcounts c LEFT JOIN capsv k
+         |    ON k.corpus = c.corpus AND k.word = c.word
+         |  WHERE c.cnt <= 2 AND length(c.word) > 2
+         |    AND NOT list_contains(${sqlStrList(graft.style.Fingerprint.FunctionWords)}, c.word)
+         |    AND NOT list_contains(${sqlStrList(Lexicon.StyleArchaisms)}, c.word)
+         |    AND k.word IS NULL
+         |  GROUP BY 1
+         |), vocab AS (
+         |  SELECT w.corpus,
+         |    ${f4("count(*)::DOUBLE / sum(w.cnt)")} AS ttr,
+         |    ${f4("sum(CASE WHEN w.cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)")} AS hapax_ratio,
+         |    ${f4(s"sum(CASE WHEN list_contains(${sqlStrList(Lexicon.StyleArchaisms)}, w.word) THEN w.cnt ELSE 0 END)::DOUBLE / sum(w.cnt) * 1000")} AS archaism_density,
+         |    ${f4("coalesce(any_value(i.invented_count), 0)::DOUBLE / sum(w.cnt) * 1000")} AS invented_word_density
+         |  FROM wcounts w LEFT JOIN inv i ON i.corpus = w.corpus
+         |  GROUP BY 1
+         |)""".stripMargin
+    val types = Seq("dialogue", "action", "description", "travel",
+      "battle", "reflection", "unknown")
+    val shares = types.map { t =>
+      val cond =
+        if (t == "unknown") "p.score < 0.5"
+        else s"p.score >= 0.5 AND p.name = '$t'"
+      s"${f4(s"avg(CASE WHEN $cond THEN 1.0 ELSE 0.0 END)")} AS share_$t"
+    }.mkString(",\n    ")
+    val cls =
+      s""", clsagg AS (
+         |  SELECT CAST(substring(p.doc_id, 5) AS BIGINT) % 2 AS corpus,
+         |    $shares
+         |  FROM ranked p WHERE p.rn = 1
+         |  GROUP BY 1
+         |)""".stripMargin
+    Oracles.overSyn(
+      classifierCtes + smx + vocab + cls +
+        readabilityCtes(s"$corpus", "corpus") +
+        """
+          |SELECT s.corpus, s.sentences, s.word_count, s.sentence_len_mean,
+          |  s.sentence_len_std, s.word_len_mean, s.punct_density_mean,
+          |  s.clause_depth_mean, s.dialogue_ratio, s.passive_voice_ratio,
+          |  s.question_ratio, s.exclamation_ratio,
+          |  r.flesch, r.fk_grade, r.gunning_fog,
+          |  v.ttr, v.hapax_ratio, v.archaism_density, v.invented_word_density,
+          |  c.share_dialogue, c.share_action, c.share_description,
+          |  c.share_travel, c.share_battle, c.share_reflection, c.share_unknown
+          |FROM smagg s
+          |JOIN readability r USING (corpus)
+          |JOIN vocab v USING (corpus)
+          |JOIN clsagg c USING (corpus)""".stripMargin)
+  }
+
+  /** Classifier score CTEs ending in `ranked` (shared by q34 and q49). */
+  private def classifierCtes: String = {
     import graft.style.Classifier
     def present(words: Seq[String]): String = words
       .map(v => s"(CASE WHEN regexp_matches(lw, '\\b${sq(v)}\\b') THEN 1 ELSE 0 END)")
@@ -598,7 +737,7 @@ object SparkEntry {
         |                       x -> length(x) > 0)) BETWEEN 4 AND 9))"""
         .stripMargin.replace("\n", " ")
     val sentCount = """len(string_split(regexp_replace(lw, '\.+$', ''), '.'))"""
-    Oracles.overSyn(
+    (
       s""", lows AS (
          |  SELECT doc_id, pos, text, lower(text) AS lw FROM syn
          |  WHERE kind <> 'media'
@@ -629,22 +768,7 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id, pos
          |                               ORDER BY score DESC, i ASC) AS rn
          |  FROM unp
-         |)
-         |SELECT p.doc_id, p.pos,
-         |  CASE WHEN p.score < 0.5 THEN 'unknown' ELSE p.name END AS primary_type,
-         |  round(CASE WHEN p.score < 0.5 THEN 0.0
-         |             WHEN p.total > 0 THEN least(1.0, p.score / p.total)
-         |             ELSE 0.0 END, 4) AS confidence,
-         |  CASE WHEN sx.score > 0.3 THEN sx.name END AS secondary_type,
-         |  round(p.s0, 4) AS dialogue_score,
-         |  round(p.s1, 4) AS action_score,
-         |  round(p.s2, 4) AS description_score,
-         |  round(p.s3, 4) AS travel_score,
-         |  round(p.s4, 4) AS battle_score,
-         |  round(p.s5, 4) AS reflection_score
-         |FROM ranked p JOIN ranked sx
-         |  ON p.doc_id = sx.doc_id AND p.pos = sx.pos
-         |WHERE p.rn = 1 AND sx.rn = 2""".stripMargin)
+         |)""".stripMargin)
   }
 
   /** q36 Burrows-delta oracle: 100-function-word frequency grid per
@@ -1034,6 +1158,15 @@ object SparkEntry {
            |    ON v.label IN ('character', 'place', 'object')
            |   AND lower(v.id) LIKE '%' || e.patient || '%'
            |) WHERE rn = 1""".stripMargin),
+      "q50_word_lengths" -> Oracles.overSyn(
+        """, toks50 AS (
+          |  SELECT CAST(substring(doc_id, 5) AS BIGINT) % 2 AS corpus,
+          |         unnest(regexp_split_to_array(lower(text), '[^a-z'']+')) AS word
+          |  FROM syn WHERE kind <> 'media'
+          |)
+          |SELECT corpus, CAST(length(word) AS INT) AS length, count(*) AS cnt
+          |FROM toks50 WHERE length(word) > 0 GROUP BY 1, 2""".stripMargin),
+      "q49_fingerprint" -> fingerprintOracleSql,
       "q43_cultures" -> Oracles.overSyn(
         s"""SELECT people,
            |       upper(substring(people, 1, 1)) || substring(people, 2) AS name,

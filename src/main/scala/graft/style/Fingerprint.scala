@@ -23,6 +23,118 @@ object Fingerprint {
     "only", "little", "work", "know", "place", "year", "live", "me", "back", "give",
     "most", "very", "after", "thing", "our", "just", "name", "good", "sentence", "man")
 
+  /** Corpus word tokens (the engine's spaCy-token stand-in): lowercase
+    * [a-z'] runs. */
+  private def tokens(sentences: DataFrame, corpusCol: String, textCol: String) =
+    sentences.select(col(corpusCol).as("corpus"),
+      explode(split(lower(col(textCol)), "[^a-z']+")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Y4 per-corpus vocabulary profile (metrics.py:233-308): totals, TTR,
+    * average word length, hapax stats, archaism count and invented-word
+    * candidates. Invented words use a deterministic OOV stand-in for the
+    * spaCy vocab + PROPN checks: length > 2, corpus count <= 2, outside the
+    * function-word and archaism lexicons, and never seen capitalized in the
+    * raw text (the proper-noun proxy).
+    */
+  def vocabularyBy(
+      spark: SparkSession, sentences: DataFrame,
+      corpusCol: String, textCol: String = "text"): DataFrame = {
+    val toks = tokens(sentences, corpusCol, textCol)
+    val counts = toks.groupBy("corpus", "word").agg(count(lit(1)).as("cnt"))
+    val caps = sentences.select(col(corpusCol).as("corpus"),
+        explode(split(col(textCol), "[^A-Za-z']+")).as("w"))
+      .filter(length(col("w")) > 0 && col("w").substr(1, 1).rlike("[A-Z]"))
+      .select(col("corpus"), lower(col("w")).as("word"))
+      .distinct()
+    val invented = counts
+      .filter(col("cnt") <= 2 && length(col("word")) > 2 &&
+        !col("word").isin(FunctionWords: _*) &&
+        !col("word").isin(graft.Lexicon.StyleArchaisms: _*))
+      .join(caps, Seq("corpus", "word"), "left_anti")
+      .groupBy("corpus").agg(count(lit(1)).as("invented_count"))
+    counts.groupBy("corpus")
+      .agg(
+        sum(col("cnt")).as("total_words"),
+        count(lit(1)).as("unique_words"),
+        graft.style.Metrics.floor4(
+          count(lit(1)).cast("double") / sum(col("cnt"))).as("ttr"),
+        graft.style.Metrics.floor4(
+          sum(length(col("word")) * col("cnt")).cast("double")
+            / sum(col("cnt"))).as("avg_word_length"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        graft.style.Metrics.floor4(
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("hapax_ratio"),
+        sum(when(col("word").isin(graft.Lexicon.StyleArchaisms: _*),
+          col("cnt")).otherwise(0L)).as("archaism_count"))
+      .join(invented, Seq("corpus"), "left")
+      .na.fill(0L, Seq("invented_count"))
+  }
+
+  /** Y4 word-length distribution rows (corpus, length, cnt). */
+  def wordLengthDistribution(
+      sentences: DataFrame, corpusCol: String,
+      textCol: String = "text"): DataFrame =
+    tokens(sentences, corpusCol, textCol)
+      .groupBy(col("corpus"), length(col("word")).as("length"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Y8 AuthorStyleFingerprint assembly (fingerprint.py:74-174): one row
+    * per corpus with sentence-level distribution means, style ratios,
+    * vocabulary scalars, readability, archaism/invented densities per 1000
+    * words and the passage-type distribution. POS ratios are omitted (no
+    * POS tagger in the deterministic engine — documented in SURVEY Y1);
+    * clause depth is the subordinator-count proxy.
+    */
+  def assemble(
+      spark: SparkSession, passages: DataFrame,
+      corpusCol: String): DataFrame = {
+    import graft.style.Metrics.floor4
+    val p = passages.withColumn("corpus", col(corpusCol))
+    val sm = graft.style.Metrics.sentenceMetrics(p, col("text"))
+      .groupBy("corpus")
+      .agg(
+        count(lit(1)).as("sentences"),
+        sum(col("word_count").cast("long")).as("word_count"),
+        floor4(avg(col("word_count"))).as("sentence_len_mean"),
+        floor4(coalesce(stddev_samp(col("word_count")), lit(0.0)))
+          .as("sentence_len_std"),
+        floor4(avg(col("avg_word_len"))).as("word_len_mean"),
+        floor4(avg(col("punct_count").cast("double")
+          / greatest(col("char_count"), lit(1)))).as("punct_density_mean"),
+        floor4(avg(col("subordinators"))).as("clause_depth_mean"),
+        floor4(avg(when(col("has_dialogue"), 1.0).otherwise(0.0)))
+          .as("dialogue_ratio"),
+        floor4(avg(when(col("is_passive"), 1.0).otherwise(0.0)))
+          .as("passive_voice_ratio"),
+        floor4(avg(when(col("is_question"), 1.0).otherwise(0.0)))
+          .as("question_ratio"),
+        floor4(avg(when(col("is_exclamation"), 1.0).otherwise(0.0)))
+          .as("exclamation_ratio"))
+    val read = graft.style.Metrics.readability(spark, p, Seq("corpus"))
+      .select("corpus", "flesch", "fk_grade", "gunning_fog")
+    val vocab = vocabularyBy(spark, p, "corpus")
+      .select(col("corpus"), col("ttr"), col("hapax_ratio"),
+        floor4(col("archaism_count").cast("double")
+          / col("total_words") * 1000).as("archaism_density"),
+        floor4(col("invented_count").cast("double")
+          / col("total_words") * 1000).as("invented_word_density"))
+    val types = Seq("dialogue", "action", "description", "travel",
+      "battle", "reflection", "unknown")
+    val cls = graft.style.Classifier.classifyPassages(spark, p)
+      .join(p.select("doc_id", "pos", "corpus"), Seq("doc_id", "pos"))
+      .groupBy("corpus")
+      .agg(
+        floor4(avg(when(col("primary_type") === types.head, 1.0)
+          .otherwise(0.0))).as(s"share_${types.head}"),
+        types.tail.map(t =>
+          floor4(avg(when(col("primary_type") === t, 1.0).otherwise(0.0)))
+            .as(s"share_$t")): _*)
+    sm.join(read, Seq("corpus")).join(vocab, Seq("corpus"))
+      .join(cls, Seq("corpus"))
+  }
+
   /** Per-corpus function-word frequency table with z-scores normalized
     * against the author's own 100 frequencies (Y9, fingerprint.py:139-153).
     * Input: sentences with a text column and a corpus-id column.

@@ -101,24 +101,31 @@ object Profiles {
       .select("speaker", "rank", "word", "cnt")
   }
 
-  /** V10 compare_voices (voice/analyzer.py:189-246): pairwise similarity
-    * from scalar profile metrics — all speaker pairs in one self-join.
-    * Input: voiceProfiles output; similarity = mean of per-metric
-    * closeness ratios.
+  /** V10 compare_voices (voice/analyzer.py:189-246): pairwise metric
+    * diffs over the full profiles — utterance length (normalized by 20),
+    * question ratio, type-token ratio, contraction ratio — and
+    * similarity = 1 - mean(diffs), exactly the reference's blend. All
+    * speaker pairs in one self-join.
     */
   def compareVoices(profiles: DataFrame): DataFrame = {
-    val a = profiles.select(col("speaker").as("speaker_a"),
-      col("avg_words").as("aw_a"),
-      (col("questions").cast("double") / col("total_lines")).as("qr_a"))
-    val b = profiles.select(col("speaker").as("speaker_b"),
-      col("avg_words").as("aw_b"),
-      (col("questions").cast("double") / col("total_lines")).as("qr_b"))
-    a.join(b, col("speaker_a") < col("speaker_b"))
+    def side(suffix: String) = profiles.select(
+      col("speaker").as(s"speaker_$suffix"),
+      col("avg_words").as(s"aw_$suffix"),
+      (col("questions").cast("double") / col("total_lines"))
+        .as(s"qr_$suffix"),
+      col("type_token_ratio").as(s"ttr_$suffix"),
+      col("contraction_ratio").as(s"cr_$suffix"))
+    val d1 = abs(col("aw_a") - col("aw_b")) / 20.0
+    val d2 = abs(col("qr_a") - col("qr_b"))
+    val d3 = abs(col("ttr_a") - col("ttr_b"))
+    val d4 = abs(col("cr_a") - col("cr_b"))
+    side("a").join(side("b"), col("speaker_a") < col("speaker_b"))
       .select(col("speaker_a"), col("speaker_b"),
-        ((lit(1.0) - abs(col("aw_a") - col("aw_b"))
-          / greatest(col("aw_a"), col("aw_b"), lit(1.0))) * 0.5 +
-          (lit(1.0) - abs(col("qr_a") - col("qr_b"))) * 0.5)
-          .as("similarity"))
+        d1.as("utterance_length_diff"),
+        d2.as("question_ratio_diff"),
+        d3.as("type_token_ratio_diff"),
+        d4.as("contraction_ratio_diff"),
+        (lit(1.0) - (d1 + d2 + d3 + d4) / 4.0).as("similarity"))
   }
 
   /** V7 sample quotes: best question + best exclamation + statements,

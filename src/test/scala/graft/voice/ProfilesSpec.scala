@@ -64,14 +64,19 @@ class ProfilesSpec extends SparkSpec {
     assert(m("second_person_ratio") == math.rint(2.0 / 11 * 10000) / 10000)
   }
 
-  test("compare_voices: similarity in [0,1], identical profiles -> 1") {
+  test("compare_voices: the reference's 4-diff blend; identical -> 1") {
     import spark.implicits._
     val profiles = Seq(
-      ("A", 10.0, 4L, 1L), ("B", 10.0, 4L, 1L), ("C", 2.0, 4L, 4L))
-      .toDF("speaker", "avg_words", "total_lines", "questions")
+      ("A", 10.0, 4L, 1L, 0.5, 0.1),
+      ("B", 10.0, 4L, 1L, 0.5, 0.1),
+      ("C", 2.0, 4L, 4L, 0.9, 0.0))
+      .toDF("speaker", "avg_words", "total_lines", "questions",
+        "type_token_ratio", "contraction_ratio")
     val c = Profiles.compareVoices(profiles).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("similarity")).toMap
     assert(math.abs(c(("A", "B")) - 1.0) < 1e-9)
-    assert(c(("A", "C")) < c(("A", "B")))
+    // A vs C: diffs = 8/20, 0.75, 0.4, 0.1 -> 1 - mean = 0.5875
+    assert(math.abs(c(("A", "C")) - 0.5875) < 1e-9)
   }
 }
