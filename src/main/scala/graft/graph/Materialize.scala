@@ -125,6 +125,46 @@ object Materialize {
       Seq("id"), "left")
   }
 
+  /** G7 passage style columns (writer.py:432-467): passage vertices joined
+    * with the classifier's primary type, word count and dialogue flag.
+    */
+  def passageStyle(
+      spark: SparkSession,
+      passageVertices: DataFrame,
+      passages: DataFrame): DataFrame = {
+    val cls = graft.style.Classifier.classifyPassages(spark, passages)
+      .select(col("doc_id"), col("pos"),
+        col("primary_type").as("passage_type"))
+    val metrics = passages.select(col("doc_id"), col("pos"),
+      graft.style.Metrics.wordCount(col("text")).as("word_count"),
+      (col("text").contains("\"") || col("text").contains("“"))
+        .as("has_dialogue"))
+    passageVertices
+      .join(cls, Seq("doc_id", "pos"), "left")
+      .join(metrics, Seq("doc_id", "pos"), "left")
+  }
+
+  /** G16 schema constraints as dedup invariants (connection.py:39-79): the
+    * uniqueness guarantees Neo4j enforced become explicit checks over the
+    * materialized tables; returns one row per constraint with its
+    * violation count (all zeros on a healthy run — recorded to the
+    * metrics table by runAll).
+    */
+  def invariants(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      passageVertices: DataFrame): DataFrame = {
+    import spark.implicits._
+    def dups(df: DataFrame, keys: Seq[String]): Long =
+      df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+    Seq(
+      ("vertex_id_unique", dups(vertices, Seq("id", "label"))),
+      ("edge_key_unique", dups(edges, Seq("src", "dst", "type"))),
+      ("passage_id_unique", dups(passageVertices, Seq("passage_id"))))
+      .toDF("constraint", "violations")
+  }
+
   /** G4 MENTIONED_IN edges (writer.py:264-284): entity -> passage with a
     * per-pair mention count, MERGE-with-aggregate semantics.
     */
@@ -259,7 +299,8 @@ object Materialize {
       assignment
     }
     val vertices = ck.stage("vertices") { vertexDelta(linked) }
-    ck.stage("passage_vertices") { passageVertices(passages, triples) }
+    val pv = ck.stage("passage_vertices") { passageVertices(passages, triples) }
+    ck.stage("passage_style") { passageStyle(spark, pv, passages) }
     ck.stage("book_style") { bookStyle(spark, passages) }
     val dialogue = ck.stage("dialogue") {
       graft.voice.Dialogue.fromPassages(spark, passages).toDF()
@@ -279,6 +320,13 @@ object Materialize {
       eventRelationEdges(graft.lore.Events.inferOrdering(events))
     }
     ck.stage("event_entity_links") { eventEntityLinks(events, vertices) }
-    ck.stage("edges") { edgeDelta(triples) }
+    val edges = ck.stage("edges") { edgeDelta(triples) }
+    // G16: record constraint-violation counts to the metrics table
+    invariants(spark, vertices, edges, pv).collect().zipWithIndex.foreach {
+      case (r, i) =>
+        ck.recordMetric(s"invariant_${r.getString(0)}", i,
+          r.getLong(1), "checked")
+    }
+    edges
   }
 }

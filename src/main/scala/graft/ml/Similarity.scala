@@ -120,25 +120,48 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double,
       numBlocks: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id").cast("long").as("vid"),
-      col("embedding").as("emb"),
-      pmod(col("vec_id"), lit(numBlocks)).cast("int").as("g"))
-    val left = e
+    import embeddings.sparkSession.implicits._
+    // one row per block: the block's vectors batched into an array —
+    // each block-pair task then runs a tight primitive-array kernel
+    // instead of paying per-pair row/UDF materialization
+    val blocks = embeddings
+      .select(pmod(col("vec_id"), lit(numBlocks)).cast("int").as("g"),
+        col("vec_id").cast("long").as("vid"), col("embedding").as("emb"))
+      .groupBy("g")
+      .agg(collect_list(struct(col("vid"), col("emb"))).as("vs"))
+    val left = blocks
       .withColumn("bj", explode(sequence(col("g"), lit(numBlocks - 1))))
-      .select(col("g").as("bi"), col("bj"),
-        col("vid").as("a"), col("emb").as("emb_a"))
-    val right = e
-      .withColumn("bi", explode(sequence(lit(0), col("g"))))
-      .select(col("bi"), col("g").as("bj"),
-        col("vid").as("b"), col("emb").as("emb_b"))
-    // a cross-block pair meets exactly once (in task (min g, max g)) but
-    // its id order may disagree with its block order — normalize with
-    // least/greatest; the diagonal task needs the a<b filter to halve
-    left.join(right, Seq("bi", "bj"))
-      .filter(col("bi") =!= col("bj") || col("a") < col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .select(col("g").as("bi"), col("bj"), col("vs").as("vs_a"))
+    val right = blocks.select(col("g").as("bj"), col("vs").as("vs_b"))
+    left.join(right, Seq("bj"))
+      .select(col("bi"), col("bj"), col("vs_a"), col("vs_b"))
+      .as[(Int, Int, Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
+      .mapPartitions(_.flatMap { case (bi, bj, vsA, vsB) =>
+        val a = vsA.toArray
+        val b = vsB.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < a.length) {
+          var j = 0
+          while (j < b.length) {
+            // diagonal task: each unordered pair once via id order;
+            // cross-block: all pairs (blocks are disjoint)
+            if (if (bi == bj) a(i)._1 < b(j)._1 else true) {
+              val c = cosineKernel(a(i)._2, b(j)._2)
+              if (c >= threshold - 1e-4) {
+                val (x, y) = (math.min(a(i)._1, b(j)._1),
+                  math.max(a(i)._1, b(j)._1))
+                out += ((x, y, c))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      })
+      .toDF("a", "b", "cos_raw")
+      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -159,15 +182,7 @@ object Similarity {
       dim: Int,
       bands: Int = 16,
       bits: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id").cast("long").as("vid"),
-      col("embedding").as("emb"))
-    val banded = e.select(col("vid"), col("emb"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          srpBucket(col("emb"), dim, bits, planeOffset = b * bits)
-            .as("bucket"))): _*)).as("bb"))
-      .select(col("vid"), col("emb"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(embeddings, dim, bands, bits)
     val l = banded.select(col("band"), col("bucket"),
       col("vid").as("a"), col("emb").as("emb_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -181,23 +196,59 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Sign-random-projection LSH bucket id: the sign bits of `bits` fixed
-    * pseudo-random hyperplanes (deterministic: plane p component j =
-    * hash-derived in [-0.5, 0.5)). `planeOffset` selects an independent
-    * plane family per band for OR-amplification.
+  /** Deterministic SRP hyperplanes: plane p component j is hash-derived in
+    * [-0.5, 0.5). One family per band via the plane-index offset.
     */
-  def srpBucket(emb: Column, dim: Int, bits: Int, planeOffset: Int = 0): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { p0 =>
+  private def planes(dim: Int, bits: Int, planeOffset: Int): Array[Array[Double]] =
+    Array.tabulate(bits) { p0 =>
       val p = p0 + planeOffset
-      (0 until dim).map { j =>
-        // splitmix-style deterministic pseudo-random in [-0.5, 0.5)
+      Array.tabulate(dim) { j =>
         val x = (p * 1000003L + j * 19349663L) * 0x9E3779B97F4A7C15L
         ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
       }
     }
+
+  /** (vid, emb, band, bucket) rows — the multi-band SRP bucketing, computed
+    * in a mapPartitions kernel over primitive arrays (a Catalyst expression
+    * of bands x bits x dim multiply-adds blows up codegen; the kernel is
+    * the 100 TB shape: one narrow pass, `bands` rows out per vector).
+    */
+  private def bandedBuckets(
+      embeddings: DataFrame, dim: Int, bands: Int, bits: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val fam = Array.tabulate(bands)(b => planes(dim, bits, b * bits))
+        it.flatMap { case (vid, emb) =>
+          (0 until bands).iterator.map { b =>
+            val ps = fam(b)
+            var bucket = 0L
+            var p = 0
+            while (p < bits) {
+              val plane = ps(p)
+              var dot = 0.0
+              var j = 0
+              val n = math.min(dim, emb.length)
+              while (j < n) { dot += emb(j) * plane(j); j += 1 }
+              if (dot >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            (vid, emb, b, bucket)
+          }
+        }
+      }.toDF("vid", "emb", "band", "bucket")
+  }
+
+  /** Single-band SRP bucket id as a column expression (kept for callers
+    * that bucket small dimensions; large dim x bits use [[bandedBuckets]]).
+    */
+  def srpBucket(emb: Column, dim: Int, bits: Int, planeOffset: Int = 0): Column = {
+    val ps = planes(dim, bits, planeOffset)
     (0 until bits).map { p =>
       val proj = (0 until dim).map(j =>
-        element_at(emb, j + 1).cast("double") * lit(planes(p)(j)))
+        element_at(emb, j + 1).cast("double") * lit(ps(p)(j)))
         .reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -217,24 +268,18 @@ object Similarity {
       k: Int = 5,
       bits: Int = 8,
       bands: Int = 8): DataFrame = {
-    val banded = embeddings.select(col("vec_id"), col("embedding"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          srpBucket(col("embedding"), dim, bits, planeOffset = b * bits)
-            .as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(embeddings, dim, bands, bits)
     val queries = broadcast(
-      banded.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      banded.filter(col("vid") < numQueries)
+        .select(col("vid").as("query_id"), col("emb").as("q_emb"),
           col("band"), col("bucket")))
     val scored = banded.join(queries, Seq("band", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("q_emb"), col("embedding"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("q_emb"), col("emb"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosine(col("q_emb"), col("emb")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
