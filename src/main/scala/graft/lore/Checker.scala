@@ -487,6 +487,24 @@ object Checker {
       .unionByName(checkAgainstRules(spark, claims, rules, "UNKNOWN"))
   }
 
+  /** parse_multiple (parser.py:356-376): sentence-split a text block and
+    * parse each fragment longer than 10 chars.
+    */
+  def parseMultiple(text: String): Seq[ParsedClaim] =
+    text.split("[.!?]+").map(_.trim).filter(_.length > 10).map(parse).toSeq
+
+  /** check_text (checker.py:298-308): validate every claim in a block. */
+  def checkText(
+      spark: SparkSession,
+      text: String,
+      edges: DataFrame,
+      vertices: DataFrame,
+      rules: DataFrame,
+      timeline: DataFrame,
+      events: DataFrame): DataFrame =
+    checkAll(spark, parseMultiple(text).map(_.original),
+      edges, vertices, rules, timeline, events)
+
   /** Q8 confidence blend (checker.py:27-56): base by evidence kind x
     * token-set similarity (Jaccard on token sets approximates rapidfuzz
     * token_set_ratio, SURVEY.md Q8), clamped to [0.5, 0.95].

@@ -106,4 +106,10 @@ class CheckerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("parse_multiple: sentence split, short fragments dropped") {
+    val cs = Checker.parseMultiple(
+      "Gandalf traveled to Mirkwood. Yes! Moria is near Rivendell.")
+    assert(cs.map(_.claimType) == Seq("RELATIONSHIP", "LOCATION"))
+  }
 }
