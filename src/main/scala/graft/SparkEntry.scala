@@ -46,15 +46,10 @@ object SparkEntry {
           "confidence")),
     "q07_edges" -> ((s, dir) => Pipeline.edges(s, dir)),
     "q08_char_graph" -> ((s, dir) => Pipeline.charGraph(s, dir)),
-    "q09_clusters" -> ((s, dir) =>
-      graft.extract.Canonicalize.clusters(
-        s, Pipeline.textual(s, dir), Pipeline.mentions(s, dir))._1),
-    "q10_cluster_registry" -> ((s, dir) => {
-      val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
-      val (assignment, _) = graft.extract.Canonicalize.clusters(
-        s, Pipeline.textual(s, dir), mentions)
-      graft.extract.Canonicalize.registry(s, mentions, assignment)
-    }),
+    "q09_clusters" -> ((s, dir) => Pipeline.clusterAssignment(s, dir)),
+    "q10_cluster_registry" -> ((s, dir) =>
+      graft.extract.Canonicalize.registry(s, Pipeline.mentions(s, dir),
+        Pipeline.clusterAssignment(s, dir))),
     "q11_dialogue" -> ((s, dir) =>
       graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir))
         .select("doc_id", "pos", "quote", "speaker", "speech_verb",
@@ -157,13 +152,11 @@ object SparkEntry {
         Pipeline.textual(s, dir), Pipeline.linked(s, dir),
         pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)))._1),
     "q38_top_entities" -> ((s, dir) => {
-      val mentions = Pipeline.mentions(s, dir).localCheckpoint(true)
-      val (assignment, _) = graft.extract.Canonicalize.clusters(
-        s, Pipeline.textual(s, dir), mentions)
       // top-k idiom: TakeOrderedAndProject narrows to 10 rows BEFORE the
       // (unavoidable) global rank window runs — no full-table single
       // partition at scale (round-1 VERDICT.md issue #6)
-      graft.extract.Canonicalize.registry(s, mentions, assignment)
+      graft.extract.Canonicalize.registry(s, Pipeline.mentions(s, dir),
+        Pipeline.clusterAssignment(s, dir))
         .orderBy(col("mention_count").desc, col("cluster").asc)
         .limit(10)
         .withColumn("rank", row_number().over(
