@@ -104,7 +104,9 @@ object Bench {
     // --- headline throughput + query timings at the configured core count
     val spark = session(cpus)
     if (new java.io.File(warmDir).isDirectory) pipelineTriples(spark, warmDir)
-    val (triples, tHigh) = timed(pipelineTriples(spark, sfDir))
+    // min-of-3 headline: single runs swing 40-70k tps with co-tenant load
+    val headline = (1 to 3).map(_ => timed(pipelineTriples(spark, sfDir)))
+    val (triples, tHigh) = (headline.head._1, headline.map(_._2).min)
     val tps = triples / tHigh
 
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
