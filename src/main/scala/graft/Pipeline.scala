@@ -65,9 +65,12 @@ object Pipeline {
         spark, textual(spark, sfDir), mentions(spark, sfDir))._1
     }
 
-  /** Mentions linked against the seed registry. */
+  /** Mentions linked against the seed registry — materialized once per
+    * (session, dir); six queries start from this stage. */
   def linked(spark: SparkSession, sfDir: String): DataFrame =
-    Linker.link(spark, mentions(spark, sfDir))
+    cached(spark, sfDir, "linked") {
+      Linker.link(spark, mentions(spark, sfDir))
+    }
 
   /** Extracted SVO triples — fused single-stage hot path (detection +
     * extraction + broadcast-index linking in one mapPartitions; no shuffle
