@@ -24,7 +24,7 @@ object Oracles {
        |         ELSE (l_partkey + 3*l_linenumber) % 20 END AS INT) AS o,
        |    CAST(l_suppkey % 8 AS INT) AS v,
        |    CAST((l_partkey + l_suppkey) % 12 AS INT) AS p,
-       |    CAST((7*l_partkey + 13*l_linenumber + 3*l_suppkey) % 28 AS INT) AS m,
+       |    CAST((7*l_partkey + 13*l_linenumber + 3*l_suppkey) % 29 AS INT) AS m,
        |    CAST(2900 + l_partkey % 60 AS INT) AS y
        |  FROM lineitem
        |  WINDOW w AS (PARTITION BY l_orderkey
@@ -49,6 +49,7 @@ object Oracles {
   val synCte: String = {
     val subj = charAt("s")
     val objC = charAt("o")
+    val third = charAt("(o + 3) % 20")
     val place = placeAt("p")
     val place2 = placeAt("(p + 5) % 12")
     val alias = aliasAt("s")
@@ -91,6 +92,8 @@ object Oracles {
        |      WHEN m = 26 THEN $subj || ' cannot wield such magic openly.'
        |      WHEN m = 27 THEN $subj || ' arrived in ' || $place ||
        |        ' in the year ' || (2800 + s * 7) || ' of the Third Age.'
+       |      WHEN m = 28 THEN $subj || ' met ' || $objC || '. ' || $objC ||
+       |        ' helped ' || $third || '.'
        |      ELSE '' END AS text,
        |    CASE WHEN m BETWEEN 18 AND 19 THEN
        |      'm/' || l_orderkey || '/' || l_linenumber || '.png' END AS media_ref
@@ -183,6 +186,8 @@ object Oracles {
   val eObj: String = s"CASE WHEN $eObjIsPlace THEN $ePlace ELSE $eObjC END"
   /** Typo'd subject (m=14 rows). */
   val eTypo: String = s"substring($eSubj, 1, length($eSubj) - 1)"
+  /** Third character (m=28 rows). */
+  val eThird: String = charAt("(o + 3) % 20")
   /** Second place (m=24 rows). */
   val ePlace2: String = placeAt("(p + 5) % 12")
   /** Birth-era name (m=20 rows). */
@@ -307,7 +312,20 @@ object Oracles {
       row("m = 27", "'Third Age'",
         s"length($eSubj) + 12 + length($ePlace) + 13 + length(CAST(ya AS VARCHAR)) + 8",
         "'UNKNOWN'", "'heuristic'", "0.7", "NULL", "'unknown'", "0.0",
-        "TRUE", "arrival 'Third Age' span"))
+        "TRUE", "arrival 'Third Age' span"),
+      row("m = 28", eSubj, "0", "'PERSON'", "'gazetteer'", "0.85",
+        s"lower($eSubj)", "'character'", "1.0", "FALSE",
+        "multi-sentence subject"),
+      row("m = 28", eObjC, s"length($eSubj) + 5",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eObjC)", "'character'",
+        "1.0", "FALSE", "first mention of the repeated character"),
+      row("m = 28", eObjC, s"length($eSubj) + 5 + length($eObjC) + 2",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eObjC)", "'character'",
+        "1.0", "FALSE", "second mention (sentence 2 subject)"),
+      row("m = 28", eThird,
+        s"length($eSubj) + 5 + 2 * length($eObjC) + 10",
+        "'PERSON'", "'gazetteer'", "0.85", s"lower($eThird)", "'character'",
+        "1.0", "FALSE", "third character"))
     s"entity_rows AS (\n${branches.mkString("\n  UNION ALL\n")}\n)"
   }
 
@@ -431,6 +449,12 @@ object Oracles {
        |    $eSubj, 'arrived', 'in ' || $ePlace, ya, 'THIRD_AGE',
        |    CAST(0.6 AS DOUBLE)
        |  FROM syn WHERE m = 27
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    lower($eSubj || '_met_' || $eObjC) AS event_id,
+       |    $eSubj, 'met', $eObjC, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+       |    CAST(0.6 AS DOUBLE)
+       |  FROM syn WHERE m = 28
        |)""".stripMargin
   }
 
@@ -448,6 +472,12 @@ object Oracles {
        |  UNION ALL
        |  SELECT doc_id, pos, lower($eSubj), 'TRAVELED_TO', lower($ePlace)
        |  FROM syn WHERE m = 27
+       |  UNION ALL
+       |  SELECT doc_id, pos, lower($eSubj), 'MET', lower($eObjC)
+       |  FROM syn WHERE m = 28
+       |  UNION ALL
+       |  SELECT doc_id, pos, lower($eObjC), 'HELPED', lower($eThird)
+       |  FROM syn WHERE m = 28
        |)""".stripMargin
 
   /** Vertex table derived from entity_rows (the q32/q48 oracles' view of

@@ -1178,14 +1178,27 @@ object SparkEntry {
         s", ${Oracles.timelineCte}\n" +
           "SELECT name, birth_era, death_era FROM timeline_rows"),
       "q29_split_roundtrip" -> Oracles.overSyn(
-        """SELECT doc_id,
-          |       'p_' || doc_id || '_c1_p' || k || '_s1' AS passage_id,
-          |       text,
-          |       1 AS chapter_num, CAST(k AS INT) AS paragraph_num,
-          |       1 AS sentence_num
-          |FROM (SELECT doc_id, text,
-          |             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
-          |      FROM syn WHERE text <> '')""".stripMargin),
+        s"""SELECT doc_id,
+           |       'p_' || doc_id || '_c1_p' || k || '_s' || sidx AS passage_id,
+           |       stext AS text,
+           |       1 AS chapter_num, CAST(k AS INT) AS paragraph_num,
+           |       CAST(sidx AS INT) AS sentence_num
+           |FROM (
+           |  SELECT doc_id, k, 1 AS sidx,
+           |         CASE WHEN m = 28
+           |              THEN ${Oracles.eSubj} || ' met ' || ${Oracles.eObjC} || '.'
+           |              ELSE text END AS stext
+           |  FROM (SELECT doc_id, text, s, o, m,
+           |               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+           |        FROM syn WHERE text <> '')
+           |  UNION ALL
+           |  SELECT doc_id, k, 2,
+           |         ${Oracles.eObjC} || ' helped ' || ${Oracles.eThird} || '.'
+           |  FROM (SELECT doc_id, s, o, m,
+           |               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+           |        FROM syn WHERE text <> '')
+           |  WHERE m = 28
+           |)""".stripMargin),
       "q25_embedding_neardup" ->
         """SELECT * FROM (
           |  SELECT a.vec_id AS a, b.vec_id AS b,

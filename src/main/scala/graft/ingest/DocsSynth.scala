@@ -14,7 +14,7 @@ import graft.Lexicon._
   * l_partkey, l_suppkey), so the identical derivation is expressible as
   * DuckDB SQL for the driver's oracle checks — see [[graft.Oracles.synCte]].
   *
-  * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 28:
+  * Template selector m = (7*partkey + 13*linenumber + 3*suppkey) % 29:
   *   0..10  text: "<Char> <verb-phrase> <Char|Place>."          (triple)
   *   11     dialogue tier-1: "\"We must ride to <Place> at dawn,\" said <Char>."
   *   12     dialogue tier-1 question: "\"How do we get to <Place> at dawn?\" asked <Char>."
@@ -43,6 +43,10 @@ import graft.Lexicon._
   *          in the year <YA> of the Third Age."  (YA = 2800 + 7*s, a pure
   *          function of the character so cross-character ordering is
   *          deterministic corpus-wide)
+  *   28     multi-sentence span (P4/T2/T6): "<C1> met <C2>. <C2> helped
+  *          <C3>."  (C3 = chars[(o+3)%20], provably distinct from C1/C2) —
+  *          two triples from one span, a repeated mention, and a genuine
+  *          two-sentence split in the q29 roundtrip
   */
 object DocsSynth {
 
@@ -60,7 +64,7 @@ object DocsSynth {
     val v = pmod(col("l_suppkey"), lit(8L)).cast("int")
     val p = pmod(col("l_partkey") + col("l_suppkey"), lit(12L)).cast("int")
     val m = pmod(lit(7L) * col("l_partkey") + lit(13L) * col("l_linenumber")
-      + lit(3L) * col("l_suppkey"), lit(28L)).cast("int")
+      + lit(3L) * col("l_suppkey"), lit(29L)).cast("int")
     val y = (lit(2900L) + pmod(col("l_partkey"), lit(60L))).cast("int")
 
     val charArr = array(Chars.map(lit): _*)
@@ -73,6 +77,8 @@ object DocsSynth {
     val peopleArr = array(Peoples.map(lit): _*)
 
     val subj = element_at(charArr, s + 1)
+    val objChar = element_at(charArr, o + 1)
+    val thirdChar = element_at(charArr, pmod(o + 3, lit(20)) + 1)
     val obj = when(element_at(objKindArr, v + 1) === 1, element_at(placeArr, p + 1))
       .otherwise(element_at(charArr, o + 1))
     val verbPhrase = element_at(verbArr, v + 1)
@@ -126,6 +132,9 @@ object DocsSynth {
       .when(m === 27,
         concat(subj, lit(" arrived in "), place, lit(" in the year "),
           ya.cast("string"), lit(" of the Third Age.")))
+      .when(m === 28,
+        concat(subj, lit(" met "), objChar, lit(". "), objChar,
+          lit(" helped "), thirdChar, lit(".")))
       .otherwise(lit(""))
 
     val mediaRef = when(m.between(18, 19),

@@ -28,17 +28,24 @@ class GoldenTriplesSpec extends SparkSpec {
         val o = if (o0 == s) (s + 1) % 20 else o0
         val v = (sk % 8).toInt
         val p = ((pk + sk) % 12).toInt
-        val m = ((7 * pk + 13 * ln + 3 * sk) % 28).toInt
+        val m = ((7 * pk + 13 * ln + 3 * sk) % 29).toInt
         if (m <= 10 || m == 14) {
           val (_, pred, kind) = Lexicon.Verbs(v)
           val objId = if (kind == 1) Lexicon.Places(p).toLowerCase
             else Lexicon.Chars(o).toLowerCase
-          Some((s"doc_$ok", pos, Lexicon.Chars(s).toLowerCase, pred, objId))
+          Seq((s"doc_$ok", pos, Lexicon.Chars(s).toLowerCase, pred, objId))
         } else if (m == 27) {
           // dated arrival: "X arrived in P ..." -> TRAVELED_TO place
-          Some((s"doc_$ok", pos, Lexicon.Chars(s).toLowerCase, "TRAVELED_TO",
+          Seq((s"doc_$ok", pos, Lexicon.Chars(s).toLowerCase, "TRAVELED_TO",
             Lexicon.Places(p).toLowerCase))
-        } else None
+        } else if (m == 28) {
+          // multi-sentence span: two triples
+          Seq(
+            (s"doc_$ok", pos, Lexicon.Chars(s).toLowerCase, "MET",
+              Lexicon.Chars(o).toLowerCase),
+            (s"doc_$ok", pos, Lexicon.Chars(o).toLowerCase, "HELPED",
+              Lexicon.Chars((o + 3) % 20).toLowerCase))
+        } else Nil
       }
     }.toSet
 
