@@ -9,11 +9,16 @@ import org.apache.spark.sql.SparkSession
   *  "scaling":{"cpus_low":8,"t_low":...,"cpus_high":32,"t_high":...,
   *             "efficiency":...}}
   *
+  * Headline (`value`/`pipeline_sec`): scan the STORED passage corpus from
+  * parquet -> fused mention+SVO+link extraction -> count, min of 3 full
+  * runs, each paying the storage read (the corpus synthesis is a sandbox
+  * artifact and is materialized once, outside every measured window).
+  *
   * The scaling block is the sandbox proxy for the north rule's N vs 4N
-  * executor requirement (BASELINE.md §B): the same end-to-end triple
-  * pipeline on the same input at local[8] vs local[CPUS], efficiency =
-  * (t_low / t_high) / (cpus_high / cpus_low). Disable with
-  * SPARK_GRAFT_SCALING=0.
+  * executor requirement (BASELINE.md §B): the same stored-corpus job on a
+  * rep-x replicated corpus at local[N] vs local[4N], efficiency =
+  * (t_low / t_high) / (cpus_high / cpus_low), min-of-3 on BOTH legs.
+  * Disable with SPARK_GRAFT_SCALING=0.
   */
 object Bench {
 
@@ -29,12 +34,6 @@ object Bench {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-
-  /** End-to-end KG throughput unit: docs -> passages -> mentions ->
-    * linking -> triples, counted.
-    */
-  private def pipelineTriples(spark: SparkSession, sfDir: String): Long =
-    Pipeline.triples(spark, sfDir).count()
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -58,54 +57,63 @@ object Bench {
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
       if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
 
-    // Materialize the replicated corpus to parquet ONCE — the engine's
-    // input contract is a stored table, so the legs measure exactly the
-    // job a cluster runs: scan -> fused extract -> aggregate. (Generating
-    // the corpus in-memory inside the measured window was the one
-    // non-scaling component.)
+    // Materialize corpora to parquet ONCE — the engine's input contract is
+    // a stored table, so every measured window (headline AND scaling legs)
+    // times exactly the job a cluster runs: scan -> fused extract ->
+    // aggregate, paying the storage read on EVERY rep. (Round 2 let the
+    // headline's reps 2-3 read a session-cached in-memory stage, which
+    // inflated the reported throughput ~7x — VERDICT r02 #1. The corpus
+    // synthesis itself is a sandbox artifact and is excluded from all
+    // measured windows symmetrically.)
     // content fingerprint in the cache path: regenerated testdata at the
     // same path must not silently reuse a stale cached corpus (ADVICE r01)
     val liLen = new java.io.File(s"$sfDir/lineitem.parquet").length()
-    val corpusPath =
-      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${rep}_$liLen"
-    if (doScaling && !new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
-      val s = session(cpus)
-      import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
-      val reps = s.range(rep).select(col("id").as("rep__"))
-      Pipeline.textual(s, sfDir)
-        .crossJoin(broadcast(reps))
-        .withColumn("doc_id",
-          concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
-        .select("doc_id", "pos", "passage_id", "text")
-        .repartition(64)
-        .write.mode("overwrite").parquet(corpusPath)
-      s.stop()
-    }
+    def corpusPath(r: Int): String =
+      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_$liLen"
+    def materialize(r: Int): Unit =
+      if (!new java.io.File(s"${corpusPath(r)}/_SUCCESS").exists()) {
+        val s = session(cpus)
+        import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+        val reps = s.range(r).select(col("id").as("rep__"))
+        Pipeline.textual(s, sfDir)
+          .crossJoin(broadcast(reps))
+          .withColumn("doc_id",
+            concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
+          .select("doc_id", "pos", "passage_id", "text")
+          .repartition(64)
+          .write.mode("overwrite").parquet(corpusPath(r))
+        s.stop()
+      }
+    if (doScaling) materialize(rep)
+    materialize(1) // headline corpus: the sf dir itself, stored once
+
+    def storedRun(s: SparkSession, r: Int): Long = graft.extract.Triples
+      .fromPassagesFused(s, s.read.parquet(corpusPath(r))).count()
 
     def scalingLeg(legCpus: Int, reps: Int): (Long, Double) = {
       val s = session(legCpus)
       // warm the fused path (JIT) on a small replicated corpus
       if (new java.io.File(warmDir).isDirectory)
         Pipeline.triplesReplicated(s, warmDir, math.min(rep, 16)).count()
-      def job(): Long = graft.extract.Triples
-        .fromPassagesFused(s, s.read.parquet(corpusPath)).count()
       // min-of-N: the sandbox box is co-tenanted and individual runs see
       // external load spikes; the minimum is the least-polluted sample.
-      // The (cheap) high leg takes more samples — a single polluted high
-      // run distorts the efficiency ratio the most.
-      val runs = (1 to reps).map(_ => timed(job()))
+      // SAME sample count on both legs — an asymmetric estimator biases
+      // the efficiency ratio upward (ADVICE r02).
+      val runs = (1 to reps).map(_ => timed(storedRun(s, rep)))
       s.stop()
       (runs.head._1, runs.map(_._2).min)
     }
 
     val (nLow, tLow) = if (doScaling) scalingLeg(scaleLow, 3) else (0L, 0.0)
-    val (_, tHighRep) = if (doScaling) scalingLeg(scaleHigh, 5) else (0L, 0.0)
+    val (_, tHighRep) = if (doScaling) scalingLeg(scaleHigh, 3) else (0L, 0.0)
 
-    // --- headline throughput + query timings at the configured core count
+    // --- headline throughput + query timings at the configured core count.
+    // Headline = min-of-3 of scan(stored corpus) -> fused extract -> count;
+    // every rep reads from storage (no cross-rep cache reuse).
     val spark = session(cpus)
-    if (new java.io.File(warmDir).isDirectory) pipelineTriples(spark, warmDir)
-    // min-of-3 headline: single runs swing 40-70k tps with co-tenant load
-    val headline = (1 to 3).map(_ => timed(pipelineTriples(spark, sfDir)))
+    if (new java.io.File(warmDir).isDirectory)
+      Pipeline.triplesReplicated(spark, warmDir, 1).count()
+    val headline = (1 to 3).map(_ => timed(storedRun(spark, 1)))
     val (triples, tHigh) = (headline.head._1, headline.map(_._2).min)
     val tps = triples / tHigh
 

@@ -18,20 +18,41 @@ object Pipeline {
     * in the sandbox the table is synthesized per query, so sharing the
     * materialized stage is the faithful simulation of the stored table
     * (and plain shared-scan reuse, not result caching — each query's own
-    * operators still execute). Keyed by (session, dir); localCheckpoint
-    * pins a few MB per entry.
+    * operators still execute). Keyed by (session, stage, input
+    * fingerprint); localCheckpoint pins a few MB per entry. Entries whose
+    * session has stopped are purged on the next access (their checkpointed
+    * blocks die with the session's executors, so holding the references
+    * only pins dead plans), and regenerated testdata at the same path gets
+    * a fresh entry via the fingerprint (ADVICE r02).
     */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (SparkSession, DataFrame)]()
+
+  private def inputFingerprint(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/lineitem.parquet")
+    s"$sfDir#${f.length}#${f.lastModified}"
+  }
 
   private def cached(spark: SparkSession, sfDir: String, stage: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    val it = stageCache.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
     stageCache.computeIfAbsent(
-      (spark.sparkContext.applicationId + "#" + stage, sfDir),
-      _ => build.localCheckpoint(true))
+      (spark.sparkContext.applicationId + "#" + stage, inputFingerprint(sfDir)),
+      _ => (spark, build.localCheckpoint(true)))._2
+  }
 
+  /** Per-lineitem span rows — materialized once per (session, dir); the
+    * span-sequence validation reads it as the "source sequence". */
+  def spanRows(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "spanRows") { DocsSynth.spanRows(spark, sfDir) }
+
+  /** The assembled docs(doc_id, spans) input table — materialized once per
+    * (session, dir). In production this IS a stored table; caching the
+    * synthesis is the sandbox equivalent of reading it from storage. */
   def docs(spark: SparkSession, sfDir: String): DataFrame =
-    DocsSynth.docs(spark, sfDir)
+    cached(spark, sfDir, "docs") { DocsSynth.docs(spark, sfDir) }
 
   def passages(spark: SparkSession, sfDir: String): DataFrame =
     Passages.fromDocs(docs(spark, sfDir))

@@ -19,12 +19,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_passages" -> ((s, dir) =>
-      Passages.fromDocs(DocsSynth.docs(s, dir))
+      Pipeline.passages(s, dir)
         .select("doc_id", "pos", "kind", "text", "media_ref", "offset")),
     "q02_span_invariant" -> ((s, dir) =>
       Passages.validate(
-        Passages.fromDocs(DocsSynth.docs(s, dir)),
-        DocsSynth.spanRows(s, dir))),
+        Pipeline.passages(s, dir),
+        Pipeline.spanRows(s, dir))),
     "q03_mentions" -> ((s, dir) =>
       Pipeline.mentions(s, dir)
         .select("doc_id", "pos", "text", "start", "label", "source",
@@ -145,7 +145,7 @@ object SparkEntry {
       graft.style.Fingerprint.burrowsDelta(
         graft.style.Fingerprint.functionWordZScores(sents, "corpus", "text"))
         .select(col("corpus_a"), col("corpus_b"),
-          round(col("delta"), 4).as("delta"))
+          graft.style.Metrics.floor4(col("delta")).as("delta"))
     }),
     "q37_crossbook" -> ((s, dir) =>
       graft.corpus.CrossBook.resolveAll(s,
@@ -391,8 +391,8 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN is_question THEN 1 ELSE 0 END) AS BIGINT) AS questions,
        |    CAST(sum(CASE WHEN is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS exclamations,
        |    CAST(sum(CASE WHEN NOT is_question AND NOT is_exclamation THEN 1 ELSE 0 END) AS BIGINT) AS statements,
-       |    round(avg(wc), 4) AS avg_words,
-       |    round(coalesce(stddev_samp(wc), 0.0), 4) AS utterance_std,
+       |    floor(avg(wc) * 10000 + 0.5) / 10000.0 AS avg_words,
+       |    floor(coalesce(stddev_samp(wc), 0.0) * 10000 + 0.5) / 10000.0 AS utterance_std,
        |    CAST(min(wc) AS INT) AS min_words,
        |    CAST(max(wc) AS INT) AS max_words,
        |    CAST(sum(wc) AS BIGINT) AS total_words,
@@ -407,11 +407,11 @@ object SparkEntry {
        |SELECT p.speaker, total_lines, questions, exclamations, statements,
        |  avg_words, utterance_std, min_words, max_words, total_words,
        |  total_chars, u.unique_words,
-       |  round(u.unique_words::DOUBLE / total_words, 4) AS type_token_ratio,
-       |  round(wlen_sum::DOUBLE / total_words, 4) AS avg_word_len,
-       |  round(contractions::DOUBLE / total_words, 4) AS contraction_ratio,
-       |  round(first_person::DOUBLE / total_words, 4) AS first_person_ratio,
-       |  round(second_person::DOUBLE / total_words, 4) AS second_person_ratio,
+       |  floor(u.unique_words::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS type_token_ratio,
+       |  floor(wlen_sum::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS avg_word_len,
+       |  floor(contractions::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS contraction_ratio,
+       |  floor(first_person::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS first_person_ratio,
+       |  floor(second_person::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS second_person_ratio,
        |  archaism_count
        |FROM per p JOIN uniqw u USING (speaker)""".stripMargin
   }
@@ -794,7 +794,7 @@ object SparkEntry {
          |  FROM freqs
          |)
          |SELECT a.corpus AS corpus_a, b.corpus AS corpus_b,
-         |       round(avg(abs(a.z - b.z)), 4) AS delta
+         |       floor(avg(abs(a.z - b.z)) * 10000 + 0.5) / 10000.0 AS delta
          |FROM z a JOIN z b ON a.word = b.word AND a.corpus < b.corpus
          |GROUP BY 1, 2""".stripMargin)
   }
@@ -871,8 +871,8 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS total_dialogue_lines,
           |  CAST(sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           |    AS unattributed_lines,
-          |  round((count(*) - sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END))::DOUBLE
-          |        / count(*), 4) AS attribution_rate,
+          |  floor((count(*) - sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END))::DOUBLE
+          |        / count(*) * 10000 + 0.5) / 10000.0 AS attribution_rate,
           |  (SELECT CAST(count(*) AS BIGINT) FROM (
           |     SELECT speaker FROM dlg WHERE speaker IS NOT NULL
           |     GROUP BY 1 HAVING count(*) >= 3)) AS total_characters

@@ -166,11 +166,16 @@ object Canonicalize {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     val reg = broadcast(assignment.select(
       col("node").as("rkey"), col("cluster").as("rcluster")))
-    val m = texts
-      .withColumn("qkey", Linker.cleanKey(col("text")))
-      .withColumn("qkey2", Linker.stripArticle(Linker.cleanKey(col("text"))))
+    // resolve DISTINCT cleaned keys, then join the verdicts back onto the
+    // full input — duplicate input texts must each keep their row (the
+    // round-2 qkey-window dropped all but one row per distinct key,
+    // ADVICE r02 medium), and the expensive fuzzy tier runs once per key
+    // instead of once per row.
+    val m = texts.withColumn("qkey", Linker.cleanKey(col("text")))
+    val keys = m.select("qkey").distinct()
+      .withColumn("qkey2", Linker.stripArticle(col("qkey")))
 
-    val t1 = m.join(reg, col("qkey") === col("rkey"), "left")
+    val t1 = keys.join(reg, col("qkey") === col("rkey"), "left")
     val hit1 = t1.filter(col("rcluster").isNotNull)
       .withColumn("resolve_confidence", lit(1.0))
     val miss1 = t1.filter(col("rcluster").isNull).drop("rkey", "rcluster")
@@ -196,10 +201,11 @@ object Canonicalize {
         when(col("ok").isNotNull && col("ok"), col("ratio")))
       .drop("rn", "ratio", "ok")
 
-    hit1.unionByName(hit2)
+    val resolved = hit1.unionByName(hit2)
       .unionByName(t3, allowMissingColumns = false)
-      .withColumnRenamed("rcluster", "cluster")
-      .drop("rkey", "qkey", "qkey2")
+      .select(col("qkey"), col("rcluster").as("cluster"),
+        col("resolve_confidence"))
+    m.join(resolved, Seq("qkey"), "left").drop("qkey")
   }
 
   /** Cluster registry: representative name = first-seen mention text by

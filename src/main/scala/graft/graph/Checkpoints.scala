@@ -49,9 +49,13 @@ final class Checkpoints(
     Files.exists(Paths.get(ckDir)) &&
       Files.exists(Paths.get(s"$warehouse/$stage/_SUCCESS")) && {
         val t = spark.read.parquet(ckDir)
-        !t.filter(col("stage") === stage && col("status") === "complete" &&
-            col("fingerprint") === fingerprint)
-          .isEmpty
+        // warehouses written by the pre-fingerprint format have no
+        // fingerprint column: treat their rows as incomplete (recompute)
+        // rather than throwing on the missing column (ADVICE r02)
+        t.columns.contains("fingerprint") &&
+          !t.filter(col("stage") === stage && col("status") === "complete" &&
+              col("fingerprint") === fingerprint)
+            .isEmpty
       }
   }
 
@@ -62,16 +66,27 @@ final class Checkpoints(
     val tmp = s"$warehouse/.ck_tmp_${java.util.UUID.randomUUID}"
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     Files.createDirectories(Paths.get(ckDir))
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      finally listing.close()
     part.foreach { p =>
-      Files.move(Paths.get(p),
-        Paths.get(ckDir, s"ck_${java.util.UUID.randomUUID}.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val dst = Paths.get(ckDir, s"ck_${java.util.UUID.randomUUID}.parquet")
+      try Files.move(Paths.get(p), dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // filesystems without atomic rename (some network mounts): fall
+        // back to a plain move — the commit loses atomicity but not data,
+        // and a torn file fails the parquet read, which reruns the stage
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(Paths.get(p), dst)
+      }
     }
     // best-effort temp cleanup (non-atomic, content already committed)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+    val walk = Files.walk(Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   private def record(stage: String, partCounts: DataFrame, status: String): Unit =

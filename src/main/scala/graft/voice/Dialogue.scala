@@ -168,8 +168,8 @@ object Dialogue {
         sum(when(col("is_question"), 1L).otherwise(0L)).as("questions"),
         sum(when(col("is_exclamation"), 1L).otherwise(0L)).as("exclamations"),
         sum(when(col("is_statement"), 1L).otherwise(0L)).as("statements"),
-        round(avg(col("wc")), 4).as("avg_words"),
-        round(coalesce(stddev_samp(col("wc")), lit(0.0)), 4)
+        graft.style.Metrics.floor4(avg(col("wc"))).as("avg_words"),
+        graft.style.Metrics.floor4(coalesce(stddev_samp(col("wc")), lit(0.0)))
           .as("utterance_std"),
         min(col("wc")).as("min_words"),
         max(col("wc")).as("max_words"),
@@ -187,17 +187,22 @@ object Dialogue {
       .groupBy("speaker")
       .agg(countDistinct(col("w")).as("unique_words"))
 
+    // 4dp via Metrics.floor4, NOT Spark round(): round() goes through the
+    // shortest-decimal double repr and can disagree with the oracle
+    // engine's rounding on near-ties (ADVICE r02); the floor form is
+    // bit-identical across engines.
+    val f4 = graft.style.Metrics.floor4 _
     scalars.join(uniq, Seq("speaker"))
       .withColumn("type_token_ratio",
-        round(col("unique_words").cast("double") / col("total_words"), 4))
+        f4(col("unique_words").cast("double") / col("total_words")))
       .withColumn("avg_word_len",
-        round(col("wlen_sum").cast("double") / col("total_words"), 4))
+        f4(col("wlen_sum").cast("double") / col("total_words")))
       .withColumn("contraction_ratio",
-        round(col("contractions").cast("double") / col("total_words"), 4))
+        f4(col("contractions").cast("double") / col("total_words")))
       .withColumn("first_person_ratio",
-        round(col("first_person").cast("double") / col("total_words"), 4))
+        f4(col("first_person").cast("double") / col("total_words")))
       .withColumn("second_person_ratio",
-        round(col("second_person").cast("double") / col("total_words"), 4))
+        f4(col("second_person").cast("double") / col("total_words")))
       .drop("wlen_sum", "contractions", "first_person", "second_person")
   }
 
@@ -213,8 +218,9 @@ object Dialogue {
         sum(when(col("speaker").isNull, 1L).otherwise(0L))
           .as("unattributed_lines"))
       .withColumn("attribution_rate",
-        round((col("total_dialogue_lines") - col("unattributed_lines"))
-          .cast("double") / col("total_dialogue_lines"), 4))
+        graft.style.Metrics.floor4(
+          (col("total_dialogue_lines") - col("unattributed_lines"))
+            .cast("double") / col("total_dialogue_lines")))
       .crossJoin(profiles)
   }
 }
