@@ -1,0 +1,87 @@
+package graft.extract
+
+/** Aho-Corasick multi-pattern matcher: one pass over the text finds every
+  * occurrence of every pattern (including overlapping occurrences), so the
+  * gazetteer scan is O(|text| + hits) instead of O(|aliases| x |text|) —
+  * the shape that survives a real registry of 10^4-10^6 aliases
+  * (round-2 VERDICT "what's wrong" #3). Built once on the driver,
+  * broadcast, and reconstructed lazily per executor.
+  *
+  * Matching semantics are byte-for-byte those of the previous
+  * per-alias `indexOf` loop (asserted by AhoCorasickSpec against the
+  * naive scan): all start positions per pattern, patterns may share
+  * occurrences, duplicate patterns each report their own hits.
+  */
+final class AhoCorasick(patterns: IndexedSeq[String]) extends Serializable {
+
+  // trie: per-node char -> child, terminal pattern ids, failure links.
+  // Built eagerly in the constructor; all state is serializable.
+  private val children = scala.collection.mutable.ArrayBuffer(
+    scala.collection.mutable.HashMap.empty[Char, Int])
+  private val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var node = 0
+    p.foreach { c =>
+      node = children(node).getOrElseUpdate(c, {
+        children += scala.collection.mutable.HashMap.empty[Char, Int]
+        outs += Nil
+        children.length - 1
+      })
+    }
+    outs(node) = pi :: outs(node)
+  }
+
+  private val fail: Array[Int] = {
+    val fl = new Array[Int](children.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach { c => fl(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (ch, v) =>
+        var f = fl(u)
+        while (f != 0 && !children(f).contains(ch)) f = fl(f)
+        fl(v) = children(f).get(ch).filter(_ != v).getOrElse(0)
+        outs(v) = outs(v) ++ outs(fl(v))
+        queue += v
+      }
+    }
+    fl
+  }
+
+  /** All matches in `text`: (patternIndex, startOffset), in pattern order
+    * then position order — the iteration order of the legacy per-alias
+    * `indexOf` loop, so downstream overlap-dedup tie-breaks are unchanged.
+    */
+  def find(text: String): Seq[(Int, Int)] = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (node != 0 && !children(node).contains(c)) node = fail(node)
+      node = children(node).getOrElse(c, 0)
+      outs(node).foreach { pi =>
+        hits += ((pi, i - patterns(pi).length + 1))
+      }
+      i += 1
+    }
+    hits.sortInPlaceBy(h => (h._1, h._2)).toSeq
+  }
+}
+
+/** A broadcast-friendly gazetteer: alias entries + the compiled automaton.
+  * The automaton is rebuilt lazily per executor after deserialization
+  * (marked @transient — the trie is cheap to rebuild relative to shipping
+  * its boxed maps).
+  */
+final class Gazetteer(val entries: IndexedSeq[(String, String)])
+    extends Serializable {
+  @transient private lazy val ac = new AhoCorasick(entries.map(_._1))
+
+  /** Gazetteer hits over `lower` (the lowercased text): one
+    * (aliasIndex, start) per occurrence, word-boundary checked by the
+    * caller. Linear in text length.
+    */
+  def hits(lower: String): Seq[(Int, Int)] = ac.find(lower)
+}

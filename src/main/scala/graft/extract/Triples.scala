@@ -148,8 +148,7 @@ object Triples {
       passages: DataFrame,
       seeds: Seq[graft.extract.SeedEntity] = Seeds.default): Dataset[Triple] = {
     import spark.implicits._
-    val gaz = spark.sparkContext.broadcast(
-      Seeds.aliasRows(seeds).map(r => (r._1, r._3)))
+    val gaz = spark.sparkContext.broadcast(Mentions.gazetteer(seeds))
     val linker = spark.sparkContext.broadcast(new LocalLinker(seeds))
     passages
       .select("doc_id", "pos", "passage_id", "text")

@@ -107,59 +107,73 @@ object Similarity {
   /** Cosine near-duplicate pairs above a threshold — EXACT all-pairs,
     * fully distributed (no driver collect): the block-grid self-join.
     * Each vector is assigned block g = vec_id % G; a pair of blocks (i, j),
-    * i <= j, is one join key, so the quadratic compare is spread over
+    * i <= j, is one cogroup key, so the quadratic compare is spread over
     * G(G+1)/2 independent tasks. The left side replicates each vector to
     * the (g, j >= g) keys, the right side to the (i <= g, g) keys —
     * communication O(N*G), compute O(N^2/2) with no single hot task and
-    * nothing on the driver. At a genuinely high threshold use
-    * [[nearDupPairsLsh]] instead — exact all-pairs is inherent when the
-    * threshold is this permissive (cos 0.4 keeps ~63% random-bit agreement,
-    * below any useful LSH gap).
+    * nothing on the driver.
+    *
+    * Memory shape (VERDICT r02 #4): vectors stay ROWS through the shuffle —
+    * a `cogroup` per block-pair buffers only side A (one block, bounded by
+    * `targetBlockRows`) and STREAMS side B from the shuffle iterator, so
+    * per-task memory is O(blockRows x dim), not O(N/G) packed into a
+    * single collect_list row. G itself scales with N (G = ceil(N/target)),
+    * so growing the table grows the task grid, not the task footprint.
+    *
+    * At a genuinely high threshold use [[nearDupPairsLsh]] instead — exact
+    * all-pairs is inherent when the threshold is this permissive (cos 0.4
+    * keeps ~63% random-bit agreement, below any useful LSH gap).
     */
   def nearDupPairs(
       embeddings: DataFrame,
       threshold: Double,
-      numBlocks: Int = 8): DataFrame = {
+      numBlocks: Int = 0,
+      targetBlockRows: Int = 65536): DataFrame = {
     import embeddings.sparkSession.implicits._
-    // one row per block: the block's vectors batched into an array —
-    // each block-pair task then runs a tight primitive-array kernel
-    // instead of paying per-pair row/UDF materialization
-    val blocks = embeddings
-      .select(pmod(col("vec_id"), lit(numBlocks)).cast("int").as("g"),
-        col("vec_id").cast("long").as("vid"), col("embedding").as("emb"))
-      .groupBy("g")
-      .agg(collect_list(struct(col("vid"), col("emb"))).as("vs"))
-    val left = blocks
-      .withColumn("bj", explode(sequence(col("g"), lit(numBlocks - 1))))
-      .select(col("g").as("bi"), col("bj"), col("vs").as("vs_a"))
-    val right = blocks.select(col("g").as("bj"), col("vs").as("vs_b"))
-    left.join(right, Seq("bj"))
-      .select(col("bi"), col("bj"), col("vs_a"), col("vs_b"))
-      .as[(Int, Int, Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
-      .mapPartitions(_.flatMap { case (bi, bj, vsA, vsB) =>
-        val a = vsA.toArray
-        val b = vsB.toArray
+    val vecs = embeddings
+      .select(col("vec_id").cast("long").as("vid"), col("embedding").as("emb"))
+    val g =
+      if (numBlocks > 0) numBlocks
+      else {
+        // one cheap columnar count sizes the grid; at 10^7 rows this gives
+        // G=153 (23k tasks, ~16 MB buffered per task at dim 64)
+        val n = vecs.count()
+        math.max(8, ((n + targetBlockRows - 1) / targetBlockRows).toInt)
+      }
+    // tuple encoders bind by POSITION: pin the column order explicitly
+    val left = vecs
+      .withColumn("bi", pmod(col("vid"), lit(g)).cast("int"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(g - 1))))
+      .select(col("vid"), col("emb"), col("bi"), col("bj"))
+      .as[(Long, Array[Float], Int, Int)]
+      .groupByKey { case (_, _, bi, bj) => (bi, bj) }
+    val right = vecs
+      .withColumn("bj", pmod(col("vid"), lit(g)).cast("int"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+      .select(col("vid"), col("emb"), col("bi"), col("bj"))
+      .as[(Long, Array[Float], Int, Int)]
+      .groupByKey { case (_, _, bi, bj) => (bi, bj) }
+    left.cogroup(right) { case ((bi, bj), as, bs) =>
+      // buffer ONE block (side A), stream side B
+      val a = as.map(r => (r._1, r._2)).toArray
+      bs.flatMap { case (vidB, embB, _, _) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var i = 0
         while (i < a.length) {
-          var j = 0
-          while (j < b.length) {
-            // diagonal task: each unordered pair once via id order;
-            // cross-block: all pairs (blocks are disjoint)
-            if (if (bi == bj) a(i)._1 < b(j)._1 else true) {
-              val c = cosineKernel(a(i)._2, b(j)._2)
-              if (c >= threshold - 1e-4) {
-                val (x, y) = (math.min(a(i)._1, b(j)._1),
-                  math.max(a(i)._1, b(j)._1))
-                out += ((x, y, c))
-              }
+          // diagonal task: each unordered pair once via id order;
+          // cross-block: all pairs (blocks are disjoint)
+          if (if (bi == bj) a(i)._1 < vidB else true) {
+            val c = cosineKernel(a(i)._2, embB)
+            if (c >= threshold - 1e-4) {
+              val (x, y) = (math.min(a(i)._1, vidB), math.max(a(i)._1, vidB))
+              out += ((x, y, c))
             }
-            j += 1
           }
           i += 1
         }
-        out.iterator
-      })
+        out
+      }
+    }
       .toDF("a", "b", "cos_raw")
       .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos"))
       .filter(col("cos") >= threshold)
