@@ -284,7 +284,10 @@ object SparkEntry {
       eraOrd: Int = -1, // claimed era order (temporal)
       a1: String = null, stem1: String = null, p1: String = null,
       a2: String = null, stem2: String = null, p2: String = null,
-      claimed: String = null) // claimed ordering (event_order)
+      claimed: String = null, // claimed ordering (event_order)
+      // raw claim event phrases "a1 act1 p1 a2 act2 p2" (unstemmed, as
+      // parsed) — the Q8 confidence's claim side (checker.py:779-782)
+      evClaimText: String = null)
 
   /** The authored parses, 1:1 with [[loreClaims]]. */
   private[graft] val oracleClaims: Seq[OracleClaim] = Seq(
@@ -341,16 +344,20 @@ object SparkEntry {
       subj = "gandalf", value = "wield magic"),
     OracleClaim("Gandalf arrived Moria before Balin", "event_order",
       a1 = "gandalf", stem1 = "arriv", p1 = "moria",
-      a2 = "balin", stem2 = "arriv", p2 = "moria", claimed = "before"),
+      a2 = "balin", stem2 = "arriv", p2 = "moria", claimed = "before",
+      evClaimText = "Gandalf arrived Moria Balin arrived Moria"),
     OracleClaim("Smaug arrived Erebor before Bilbo", "event_order",
       a1 = "smaug", stem1 = "arriv", p1 = "erebor",
-      a2 = "bilbo", stem2 = "arriv", p2 = "erebor", claimed = "before"),
+      a2 = "bilbo", stem2 = "arriv", p2 = "erebor", claimed = "before",
+      evClaimText = "Smaug arrived Erebor Bilbo arrived Erebor"),
     OracleClaim("Gandalf killed Frodo before Thorin", "event_order",
       a1 = "gandalf", stem1 = "kill", p1 = "frodo",
-      a2 = "thorin", stem2 = "kill", p2 = "frodo", claimed = "before"),
+      a2 = "thorin", stem2 = "kill", p2 = "frodo", claimed = "before",
+      evClaimText = "Gandalf killed Frodo Thorin killed Frodo"),
     OracleClaim("Gandalf arrived Hobbiton after Bilbo", "event_order",
       a1 = "gandalf", stem1 = "arriv", p1 = "hobbiton",
-      a2 = "bilbo", stem2 = "arriv", p2 = "hobbiton", claimed = "after"),
+      a2 = "bilbo", stem2 = "arriv", p2 = "hobbiton", claimed = "after",
+      evClaimText = "Gandalf arrived Hobbiton Bilbo arrived Hobbiton"),
     OracleClaim("Perhaps beyond the misty mountains", "unknown"))
 
   private def sq(s: String): String = s.replace("'", "''")
@@ -432,7 +439,9 @@ object SparkEntry {
          |  CASE WHEN ev > 0 THEN '$verdict'
          |       WHEN rev > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END AS status,
          |  CAST(CASE WHEN ev > 0 THEN ev ELSE rev END AS BIGINT) AS evidence,
-         |  CAST(NULL AS VARCHAR) AS suggestion
+         |  CAST(NULL AS VARCHAR) AS suggestion,
+         |  CASE WHEN ev > 0 THEN 0.95 WHEN rev > 0 THEN 0.4
+         |       ELSE 0.0 END AS confidence
          |FROM (SELECT
          |  (SELECT count(*) FROM triple_rows WHERE predicate = '${c.et}'
          |     AND subject_id LIKE '%${sq(c.subj)}%'
@@ -443,7 +452,8 @@ object SparkEntry {
     case "entity_exists" =>
       s"""SELECT '${sq(c.text)}', 'entity_exists',
          |  CASE WHEN tm > 0 THEN 'VALID' ELSE 'UNKNOWN' END,
-         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR),
+         |  CASE WHEN tm > 0 THEN 0.9 ELSE 0.0 END
          |FROM (SELECT
          |  (SELECT count(*) FROM vertex_rows
          |     WHERE id LIKE '%${sq(c.subj)}%') AS ev,
@@ -458,7 +468,8 @@ object SparkEntry {
                 |     AND rule_text LIKE '%${sq(c.value)}%')""".stripMargin
       s"""SELECT '${sq(c.text)}', 'attribute',
          |  CASE WHEN ev > 0 THEN 'VALID' ELSE 'UNKNOWN' END,
-         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR),
+         |  CASE WHEN ev > 0 THEN 0.8 ELSE 0.0 END
          |FROM (SELECT $ev AS ev)""".stripMargin
     case "temporal" =>
       s"""SELECT '${sq(c.text)}', 'temporal',
@@ -467,7 +478,12 @@ object SparkEntry {
          |       WHEN hi IS NOT NULL AND ${c.eraOrd} > hi THEN 'INVALID'
          |       WHEN lo IS NOT NULL AND hi IS NOT NULL THEN 'VALID'
          |       ELSE 'UNKNOWN' END,
-         |  CAST(cnt AS BIGINT), CAST(NULL AS VARCHAR)
+         |  CAST(cnt AS BIGINT), CAST(NULL AS VARCHAR),
+         |  CASE WHEN cnt = 0 THEN 0.0
+         |       WHEN lo IS NOT NULL AND ${c.eraOrd} < lo THEN 0.9
+         |       WHEN hi IS NOT NULL AND ${c.eraOrd} > hi THEN 0.9
+         |       WHEN lo IS NOT NULL AND hi IS NOT NULL THEN 0.9
+         |       ELSE 0.0 END
          |FROM (SELECT count(*) AS cnt,
          |        any_value(${eraOrdSql("birth_era")}) AS lo,
          |        any_value(${eraOrdSql("death_era")}) AS hi
@@ -475,7 +491,8 @@ object SparkEntry {
     case "capability" =>
       s"""SELECT '${sq(c.text)}', 'capability',
          |  CASE WHEN ev1 + ev2 > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END,
-         |  CAST(ev1 + ev2 AS BIGINT), CAST(NULL AS VARCHAR)
+         |  CAST(ev1 + ev2 AS BIGINT), CAST(NULL AS VARCHAR),
+         |  CASE WHEN ev1 + ev2 > 0 THEN 0.6 ELSE 0.0 END
          |FROM (SELECT
          |  (SELECT count(*) FROM rule_rows
          |     WHERE rule_text LIKE '%${sq(c.subj)}%'
@@ -491,7 +508,8 @@ object SparkEntry {
           .map(t => s"rule_text LIKE '%${sq(t)}%'").mkString(" OR ")})"""
       s"""SELECT '${sq(c.text)}', '${c.ctype}',
          |  CASE WHEN ev > 0 THEN 'PLAUSIBLE' ELSE 'UNKNOWN' END,
-         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR)
+         |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR),
+         |  CASE WHEN ev > 0 THEN 0.4 ELSE 0.0 END
          |FROM (SELECT $ev AS ev)""".stripMargin
     case "event_order" =>
       def cond(a: String, st: String, p: String): String =
@@ -500,6 +518,13 @@ object SparkEntry {
            |  AND lower(action) LIKE '%${sq(st)}%'
            |  AND (pat LIKE '%${sq(p)}%'
            |       OR '${sq(p)}' LIKE '%' || pat || '%')""".stripMargin
+      // Q8 confidence: the claim's token set is a compile-time literal;
+      // the found side is the two matched events' "agent action patient"
+      // descriptions. Same floor-2dp clamp formula as the Spark side.
+      val cToks = c.evClaimText.toLowerCase.split("\\s+").distinct
+      val cToksLit = cToks.map(t => s"'${sq(t)}'").mkString("[", ", ", "]")
+      val fToks =
+        """list_distinct(regexp_split_to_array(lower(d1 || ' ' || d2), '\s+'))"""
       s"""SELECT '${sq(c.text)}', 'event_order',
          |  CASE WHEN m1 = 0 OR m2 = 0 THEN 'UNKNOWN'
          |       WHEN act IS NULL THEN 'UNKNOWN'
@@ -510,8 +535,17 @@ object SparkEntry {
          |            AND act <> '${c.claimed}'
          |       THEN 'Did you mean: ' ||
          |            replace('${sq(c.text)}', '${c.claimed}', act) || '?'
-         |  END
-         |FROM (SELECT m1, m2,
+         |  END,
+         |  CASE WHEN m1 > 0 AND m2 > 0 AND act IS NOT NULL THEN
+         |    floor(greatest(0.5, least(0.95,
+         |      (CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL THEN 0.88
+         |            WHEN e1 IS NOT NULL AND e2 IS NOT NULL THEN 0.80
+         |            ELSE 0.95 END)
+         |      * (len(list_intersect($cToksLit, $fToks))::DOUBLE
+         |         / len(list_distinct(list_concat($cToksLit, $fToks))))
+         |    )) * 100 + 0.5) / 100.0
+         |  ELSE 0.0 END
+         |FROM (SELECT m1, m2, e1, e2, y1, y2, d1, d2,
          |    CASE WHEN e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
          |           THEN CASE WHEN e1 < e2 THEN 'before' ELSE 'after' END
          |         WHEN y1 IS NOT NULL AND y2 IS NOT NULL AND y1 <> y2
@@ -521,12 +555,15 @@ object SparkEntry {
          |      count(*) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS m1,
          |      arg_min(eord, k) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS e1,
          |      arg_min(year, k) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS y1,
+         |      arg_min(descr, k) FILTER (${cond(c.a1, c.stem1, c.p1)}) AS d1,
          |      count(*) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS m2,
          |      arg_min(eord, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS e2,
-         |      arg_min(year, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS y2
+         |      arg_min(year, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS y2,
+         |      arg_min(descr, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS d2
          |    FROM (SELECT *, ${eraOrdSql("era")} AS eord,
          |            doc_id || '#' || lpad(CAST(pos AS VARCHAR), 6, '0') AS k,
-         |            regexp_replace(lower(patient), '^(the|a|an) ', '') AS pat
+         |            regexp_replace(lower(patient), '^(the|a|an) ', '') AS pat,
+         |            agent || ' ' || action || ' ' || patient AS descr
          |          FROM event_rows)))""".stripMargin
   }
 

@@ -183,7 +183,19 @@ object Checker {
   // -------------------------------------------------------------------
 
   private val OutCols = Seq("claim", "claim_type", "status", "evidence",
-    "suggestion")
+    "suggestion", "confidence")
+
+  /** Q8 status-driven confidence (checker.py:77-107 ValidationResult always
+    * carries one; the deterministic checkers assign fixed bases —
+    * relationship 0.95 (checker.py:407), entity-type 0.9 (:327), attribute
+    * 0.8 (:378), temporal 0.9 (:647,661), capability 0.6 (:728),
+    * rules-fallback 0.4 (:916); UNKNOWN keeps the 0.0 default). Event-order
+    * verdicts instead blend match quality via [[computeConfidence]].
+    */
+  private def fixedConfidence(byStatus: (String, Double)*): Column =
+    byStatus.foldLeft(lit(0.0)) { case (acc, (st, c)) =>
+      when(col("status") === st, c).otherwise(acc)
+    }
 
   private def stem(v: String): String =
     v.toLowerCase.stripSuffix("ed").stripSuffix("s")
@@ -244,6 +256,8 @@ object Checker {
         when(col("edge_evidence") > 0, col("edge_evidence"))
           .otherwise(coalesce(col("rule_evidence"), lit(0L))).as("evidence"),
         lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence(
+        "VALID" -> 0.95, "INVALID" -> 0.95, "PLAUSIBLE" -> 0.4))
   }
 
   /** Q4 entity-existence check (checker.py:310-350): VALID when the claimed
@@ -272,6 +286,7 @@ object Checker {
           .otherwise("UNKNOWN").as("status"),
         col("evidence"),
         lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence("VALID" -> 0.9))
   }
 
   /** Q10/_check_attribute (checker.py:352-389 + 995-1005): a rule supports
@@ -300,6 +315,7 @@ object Checker {
         when(col("evidence") > 0, "VALID").otherwise("UNKNOWN").as("status"),
         col("evidence"),
         lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence("VALID" -> 0.8))
   }
 
   /** Q6 temporal check (checker.py:634-710) over the E12 timeline:
@@ -338,6 +354,8 @@ object Checker {
           .otherwise("UNKNOWN").as("status"),
         col("evidence"),
         lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence(
+        "VALID" -> 0.9, "INVALID" -> 0.9))
   }
 
   /** Q9 capability check (checker.py:712-730): PLAUSIBLE on any rule
@@ -364,6 +382,7 @@ object Checker {
           .otherwise("UNKNOWN").as("status"),
         (col("rule_evidence") + col("rule_evidence2")).as("evidence"),
         lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence("PLAUSIBLE" -> 0.6))
   }
 
   /** Q9 location + general rules fallback (checker.py:732-734, 894-918):
@@ -385,6 +404,7 @@ object Checker {
         .otherwise("UNKNOWN").as("status"),
       col("rule_evidence").as("evidence"),
       lit(null).cast("string").as("suggestion"))
+      .withColumn("confidence", fixedConfidence("PLAUSIBLE" -> 0.4))
   }
 
   /** Q7 event-order check (checker.py:736-813): find both events with the
@@ -425,18 +445,25 @@ object Checker {
       "left")
     val seen = concat(col("doc_id"), lit("#"),
       lpad(col("pos").cast("string"), 6, "0"))
+    val descr = concat_ws(" ", col("agent"), col("action"), col("patient"))
     val firsts = matched.groupBy("claim", "side")
       .agg(count(col("event_id")).as("matches"),
         min_by(col("era"), seen).as("era"),
-        min_by(col("year"), seen).as("year"))
+        min_by(col("year"), seen).as("year"),
+        min_by(descr, seen).as("descr"))
     val s1 = firsts.filter(col("side") === 1)
       .select(col("claim"), col("matches").as("m1"),
-        Temporal.eraOrderCol(col("era")).as("e1"), col("year").as("y1"))
+        Temporal.eraOrderCol(col("era")).as("e1"), col("year").as("y1"),
+        col("descr").as("d1"))
     val s2 = firsts.filter(col("side") === 2)
       .select(col("claim"), col("matches").as("m2"),
-        Temporal.eraOrderCol(col("era")).as("e2"), col("year").as("y2"))
-    val ords = evc.map(c => (c.original, c.ordering.getOrElse("before")))
-      .toDF("claim", "claimed")
+        Temporal.eraOrderCol(col("era")).as("e2"), col("year").as("y2"),
+        col("descr").as("d2"))
+    val ords = evc.map { c =>
+      val claimText = Seq(c.event1Agent, c.event1Action, c.event1Patient,
+        c.event2Agent, c.event2Action, c.event2Patient).flatten.mkString(" ")
+      (c.original, c.ordering.getOrElse("before"), claimText)
+    }.toDF("claim", "claimed", "claim_text")
     val actual = when(col("e1").isNotNull && col("e2").isNotNull &&
         col("e1") =!= col("e2"),
         when(col("e1") < col("e2"), "before").otherwise("after"))
@@ -444,24 +471,45 @@ object Checker {
         col("y1") =!= col("y2"),
         when(col("y1") < col("y2"), "before").otherwise("after"))
       .otherwise(lit(null).cast("string"))
+    // Q8 match-quality confidence (checker.py:779-798): evidence kind from
+    // the matched pair (both years -> "year" 0.88, both eras -> "era" 0.80,
+    // else "direct" 0.95) x token-set similarity between the claim's event
+    // phrases and the matched events' descriptions ("agent action patient",
+    // events.py:637); clamp [0.5, 0.95]; floor-based 2dp rounding for
+    // Spark/DuckDB parity (the reference's Python round(x, 2) differs only
+    // on exact halves).
+    val cToks = array_distinct(split(lower(col("claim_text")), "\\s+"))
+    val fToks = array_distinct(split(
+      lower(concat_ws(" ", col("d1"), col("d2"))), "\\s+"))
+    val sim = size(array_intersect(cToks, fToks)).cast("double") /
+      size(array_union(cToks, fToks))
+    val base = when(col("y1").isNotNull && col("y2").isNotNull, 0.88)
+      .when(col("e1").isNotNull && col("e2").isNotNull, 0.80)
+      .otherwise(0.95)
+    val conf = floor(greatest(lit(0.5), least(lit(0.95), base * sim)) *
+      100 + 0.5) / 100.0
     s1.join(s2, Seq("claim")).join(broadcast(ords), Seq("claim"))
       .withColumn("actual", actual)
-      .select(col("claim"), lit("event_order").as("claim_type"),
+      .withColumn("status",
         when(col("m1") === 0 || col("m2") === 0, "UNKNOWN")
           .when(col("actual").isNull, "UNKNOWN")
           .when(col("actual") === col("claimed"), "VALID")
-          .otherwise("INVALID").as("status"),
+          .otherwise("INVALID"))
+      .select(col("claim"), lit("event_order").as("claim_type"),
+        col("status"),
         (col("m1") + col("m2")).as("evidence"),
         when(col("m1") > 0 && col("m2") > 0 && col("actual").isNotNull &&
             col("actual") =!= col("claimed"),
           concat(lit("Did you mean: "),
             regexp_replace(col("claim"), col("claimed"), col("actual")),
-            lit("?"))).as("suggestion"))
+            lit("?"))).as("suggestion"),
+        when(col("status").isin("VALID", "INVALID"), conf)
+          .otherwise(0.0).as("confidence"))
   }
 
   private def emptyOut(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, String, String, Long, String)]
+    Seq.empty[(String, String, String, Long, String, Double)]
       .toDF(OutCols: _*)
   }
 
