@@ -641,6 +641,269 @@ object SparkEntry {
          |  ON p.doc_id = sx.doc_id AND p.pos = sx.pos
          |WHERE p.rn = 1 AND sx.rn = 2""".stripMargin)
 
+  // -------------------------------------------------------------------
+  // World-bible oracles (q30/q31/q43/q44/q45): the keyword/regex semantics
+  // of WorldBible.classify / extractAll re-implemented in DuckDB over the
+  // raw syn.text — independent derivations, not planted-template replays.
+  // Match positions come from the regexp_extract_all / regexp_split_to_array
+  // pair (cumulative segment lengths); the W4 greedy span-overlap dedup is a
+  // list_reduce fold over matches sorted by (start, -conf, source order)
+  // with a string-encoded accumulator ("maxend|kept-items") because DuckDB
+  // 1.0's list_reduce mis-folds struct accumulators.
+  // -------------------------------------------------------------------
+
+  private def wbPat(p: String): String = s"'(?i)${sq(p)}'"
+
+  /** The 8 category names, in CategoryKeywords order (argmax tiebreak). */
+  private def wbCatList: String =
+    graft.worldbible.WorldBible.CategoryKeywords
+      .map(c => s"'${c._1}'").mkString("[", ", ", "]")
+
+  /** Integer keyword-hit counts per category over `col`, as an 8-list —
+    * inferCategory's scores (patterns.py:162-177).
+    */
+  private def wbCtxScores(col: String): String =
+    graft.worldbible.WorldBible.CategoryKeywords.map { case (_, ps) =>
+      ps.map(p => s"len(regexp_extract_all($col, ${wbPat(p)}))")
+        .mkString(" + ")
+    }.mkString("[\n      ", ",\n      ", "]")
+
+  /** CTEs wbtext + wbrcat: every rule-pattern match with its span and the
+    * category inferred from its ±50-char context (find_rule_matches,
+    * patterns.py:141-162). pord is the pattern's position in RulePatterns —
+    * the source order for the W4 stable sort.
+    */
+  private def wbRuleCtes: String = {
+    val branches = graft.worldbible.WorldBible.RulePatterns.zipWithIndex
+      .map { case ((pat, name), k) =>
+        s"""  SELECT doc_id, pos, text, $k AS pord, '$name' AS pattern_name,
+           |    regexp_extract_all(text, ${wbPat(pat)}) AS ms,
+           |    regexp_split_to_array(text, ${wbPat(pat)}) AS parts
+           |  FROM wbtext""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    s"""wbtext AS (
+       |  SELECT doc_id, pos, text FROM syn WHERE kind <> 'media'
+       |), wbrm AS (
+       |$branches
+       |), wbru AS (
+       |  SELECT doc_id, pos, text, pord, pattern_name, ms, parts,
+       |         unnest(generate_series(1, len(ms))) AS i
+       |  FROM wbrm
+       |), wbrx AS (
+       |  SELECT doc_id, pos, text, pord, pattern_name, i, ms[i] AS mtext,
+       |    CAST(coalesce(list_sum(list_transform(parts[1:i], x -> len(x))), 0)
+       |       + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
+       |       AS INT) AS mstart
+       |  FROM wbru
+       |), wbrc AS (
+       |  SELECT doc_id, pos, pord, pattern_name, i, mtext, mstart,
+       |         mstart + len(mtext) AS mend,
+       |         substring(text, greatest(0, mstart - 50) + 1,
+       |           least(len(text), mstart + len(mtext) + 50)
+       |             - greatest(0, mstart - 50)) AS ctx
+       |  FROM wbrx
+       |), wbrcat AS (
+       |  SELECT doc_id, pos, pord, pattern_name, i, mtext, mstart, mend,
+       |    CASE WHEN list_max(cs) = 0 THEN 'themes'
+       |         ELSE ($wbCatList)[list_position(cs, list_max(cs))]
+       |    END AS category
+       |  FROM (SELECT *, ${wbCtxScores("ctx")} AS cs FROM wbrc)
+       |)""".stripMargin
+  }
+
+  /** CTEs wbbasel + wbboost + wbcats: classify_passage
+    * (patterns.py:179-203). Keyword base = per-pattern hits x 0.2 summed in
+    * pattern order (bit-exact with the Scala accumulation), min'd at 1.0;
+    * each rule whose context infers the category then folds
+    * min(s + 0.3, 1.0), first rule setting 0.5 when no keyword base.
+    */
+  private def wbCatsCtes: String = {
+    val baseCols = graft.worldbible.WorldBible.CategoryKeywords
+      .map { case (c, ps) =>
+        val sum = ps
+          .map(p =>
+            s"len(regexp_extract_all(text, ${wbPat(p)})) * CAST(0.2 AS DOUBLE)")
+          .mkString("\n      + ")
+        s"    $sum AS base_$c"
+      }.mkString(",\n")
+    val baseBranches = graft.worldbible.WorldBible.CategoryKeywords
+      .map { case (c, _) =>
+        s"""  SELECT doc_id, pos, '$c' AS category, base_$c AS raw
+           |  FROM wbbase WHERE base_$c > 0""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    def boostFold(start: String, steps: String): String =
+      s"""list_reduce(list_prepend($start,
+         |        list_transform(generate_series(1, $steps),
+         |                       x -> CAST(0.3 AS DOUBLE))),
+         |        (a, b) -> least(a + b, CAST(1.0 AS DOUBLE)))""".stripMargin
+    s""", wbbase AS (
+       |  SELECT doc_id, pos,
+       |$baseCols
+       |  FROM wbtext
+       |), wbbasel AS (
+       |$baseBranches
+       |), wbboost AS (
+       |  SELECT doc_id, pos, category, count(*) AS rcnt
+       |  FROM wbrcat GROUP BY 1, 2, 3
+       |), wbcats AS (
+       |  SELECT coalesce(b.doc_id, r.doc_id) AS doc_id,
+       |         coalesce(b.pos, r.pos) AS pos,
+       |         coalesce(b.category, r.category) AS category,
+       |    CASE WHEN r.rcnt IS NULL THEN least(b.raw, CAST(1.0 AS DOUBLE))
+       |         WHEN b.raw IS NULL THEN
+       |      ${boostFold("CAST(0.5 AS DOUBLE)", "CAST(r.rcnt AS INT) - 1")}
+       |         ELSE
+       |      ${boostFold("least(b.raw, CAST(1.0 AS DOUBLE))", "CAST(r.rcnt AS INT)")}
+       |    END AS score
+       |  FROM wbbasel b FULL OUTER JOIN wbboost r
+       |    ON b.doc_id = r.doc_id AND b.pos = r.pos
+       |   AND b.category = r.category
+       |)""".stripMargin
+  }
+
+  /** q30: per-passage category scores from raw text. */
+  private def worldbibleCatOracleSql: String =
+    Oracles.overSyn(
+      s""", $wbRuleCtes$wbCatsCtes
+         |SELECT doc_id, pos, category, CAST(score AS DOUBLE) AS score
+         |FROM wbcats""".stripMargin)
+
+  /** q31: extract_all + W4 greedy overlap dedup + RuleNames filter
+    * (extractor.py:268-300) from raw text. Keyword matches (conf 0.7)
+    * occupy spans alongside rule matches (conf 0.85); only kept rule
+    * matches in the five qualifying pattern names are emitted.
+    */
+  private def worldbibleRulesOracleSql: String = {
+    val kwBranches = {
+      var ord = -1
+      graft.worldbible.WorldBible.CategoryKeywords.flatMap { case (c, ps) =>
+        ps.map { p =>
+          ord += 1
+          s"""  SELECT doc_id, pos, text, $ord AS pord, '$c' AS category,
+             |    regexp_extract_all(text, ${wbPat(p)}) AS ms,
+             |    regexp_split_to_array(text, ${wbPat(p)}) AS parts
+             |  FROM wbtext""".stripMargin
+        }
+      }.mkString("\n  UNION ALL\n")
+    }
+    val ruleNamesSql = graft.worldbible.WorldBible.RuleNames.toSeq.sorted
+      .map(n => s"'$n'").mkString(", ")
+    // greedy fold: elements "mend|mstart|item", accumulator "maxend|kept"
+    // (kept = chr(30)-joined items); keep iff mstart >= maxend
+    val fold =
+      s"""list_reduce(list_prepend('0|', list(
+         |      mend || '|' || mstart || '|' || item
+         |      ORDER BY mstart ASC, conf DESC, knd ASC, pord ASC, i ASC)),
+         |    (a, b) -> CASE
+         |      WHEN CAST(split_part(b, '|', 2) AS INT)
+         |             >= CAST(split_part(a, '|', 1) AS INT)
+         |      THEN split_part(b, '|', 1) || '|' ||
+         |        CASE WHEN split_part(b, '|', 3) = '' THEN split_part(a, '|', 2)
+         |             WHEN split_part(a, '|', 2) = '' THEN split_part(b, '|', 3)
+         |             ELSE split_part(a, '|', 2) || chr(30) || split_part(b, '|', 3)
+         |        END
+         |      ELSE a END)""".stripMargin
+    Oracles.overSyn(
+      s""", $wbRuleCtes, wbkm AS (
+         |$kwBranches
+         |), wbku AS (
+         |  SELECT doc_id, pos, pord, ms, parts,
+         |         unnest(generate_series(1, len(ms))) AS i
+         |  FROM wbkm
+         |), wbkx AS (
+         |  SELECT doc_id, pos, pord, i, ms[i] AS mtext,
+         |    CAST(coalesce(list_sum(list_transform(parts[1:i], x -> len(x))), 0)
+         |       + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
+         |       AS INT) AS mstart
+         |  FROM wbku
+         |), wbtok AS (
+         |  SELECT doc_id, pos, 0 AS knd, pord, i, mstart,
+         |         mstart + len(mtext) AS mend,
+         |         CAST(0.7 AS DOUBLE) AS conf, '' AS item
+         |  FROM wbkx
+         |  UNION ALL
+         |  SELECT doc_id, pos, 1, pord, i, mstart, mend,
+         |         CAST(0.85 AS DOUBLE),
+         |    CASE WHEN pattern_name IN ($ruleNamesSql)
+         |         THEN pattern_name || chr(9) || mtext || chr(9) || category
+         |         ELSE '' END
+         |  FROM wbrcat
+         |), wbkept AS (
+         |  SELECT doc_id, pos,
+         |         unnest(string_split(split_part(r, '|', 2), chr(30))) AS item
+         |  FROM (SELECT doc_id, pos, $fold AS r
+         |        FROM wbtok GROUP BY doc_id, pos)
+         |)
+         |SELECT DISTINCT doc_id, pos,
+         |  split_part(item, chr(9), 1) AS pattern_name,
+         |  split_part(item, chr(9), 2) AS rule_text,
+         |  split_part(item, chr(9), 3) AS category
+         |FROM wbkept WHERE item <> ''""".stripMargin)
+  }
+
+  /** q43: culture-categorized passages bucketed by people keywords
+    * (extractor.py:302-349), >= 2 passages each.
+    */
+  private def culturesOracleSql: String = {
+    val peopleRows = graft.worldbible.WorldBible.PeoplesKeywords
+      .map { case (people, kws) =>
+        s"('$people', ${kws.map(k => s"'${sq(k)}'").mkString("[", ", ", "]")})"
+      }.mkString(",\n         ")
+    Oracles.overSyn(
+      s""", $wbRuleCtes$wbCatsCtes
+         |SELECT people,
+         |       upper(substring(people, 1, 1)) || substring(people, 2) AS name,
+         |       passages
+         |FROM (
+         |  SELECT p.people, count(*) AS passages
+         |  FROM (SELECT doc_id, pos, lower(text) AS lw FROM wbtext
+         |        WHERE (doc_id, pos) IN
+         |          (SELECT (doc_id, pos) FROM wbcats
+         |           WHERE category = 'culture')) t,
+         |       (VALUES $peopleRows) AS p(people, kws)
+         |  WHERE len(list_filter(p.kws, k -> contains(t.lw, k))) > 0
+         |  GROUP BY 1
+         |) WHERE passages >= 2""".stripMargin)
+  }
+
+  /** q44: magic-categorized passages split limitation/ability
+    * (extractor.py:351-381).
+    */
+  private def magicOracleSql: String =
+    Oracles.overSyn(
+      s""", $wbRuleCtes$wbCatsCtes
+         |SELECT doc_id, pos, kind FROM (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN contains(lw, 'cannot') OR contains(lw, 'forbidden')
+         |           THEN 'limitation'
+         |         WHEN contains(lw, 'can') OR contains(lw, 'able')
+         |           OR contains(lw, 'power') THEN 'ability' END AS kind
+         |  FROM (SELECT doc_id, pos, lower(text) AS lw FROM wbtext
+         |        WHERE (doc_id, pos) IN
+         |          (SELECT (doc_id, pos) FROM wbcats WHERE category = 'magic'))
+         |) WHERE kind IS NOT NULL""".stripMargin)
+
+  /** q45: location names extracted from geography-categorized passages
+    * (extractor.py:383-416), top-20 by (passages desc, name asc).
+    */
+  private def geographyOracleSql: String = {
+    val locPat =
+      """(the\s+)?([\w\s]+)\s+(is|was|lies|stands?)\s+(in|on|near|by|at)\s+"""
+    Oracles.overSyn(
+      s""", $wbRuleCtes$wbCatsCtes
+         |SELECT name, passages FROM (
+         |  SELECT name, count(*) AS passages FROM (
+         |    SELECT trim(g2) AS name FROM (
+         |      SELECT unnest(regexp_extract_all(text, ${wbPat(locPat)}, 2)) AS g2
+         |      FROM wbtext
+         |      WHERE (doc_id, pos) IN
+         |        (SELECT (doc_id, pos) FROM wbcats
+         |         WHERE category = 'geography'))
+         |  ) WHERE len(name) > 2 AND regexp_matches(name, '^[A-Z]')
+         |  GROUP BY 1
+         |) ORDER BY passages DESC, name ASC LIMIT 20""".stripMargin)
+  }
+
   /** q49 fingerprint oracle: sentence-metric ratios + readability +
     * vocabulary + classifier passage-type shares, all per corpus.
     */
@@ -1080,69 +1343,8 @@ object SparkEntry {
           |               ELSE 0.1 END AS quality
           |        FROM dlg WHERE speaker IS NOT NULL)
           |) WHERE rn = 1""".stripMargin),
-      "q30_worldbible_cat" -> Oracles.overSyn(
-        """SELECT doc_id, pos, 'geography' AS category,
-          |       CAST(0.2 AS DOUBLE) AS score
-          |FROM syn WHERE (m <= 10 OR m = 14) AND v = 1
-          |UNION ALL
-          |SELECT doc_id, pos, 'creatures', CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE (m <= 10 OR m = 14) AND v = 7
-          |UNION ALL
-          |SELECT doc_id, pos, 'themes', CAST(0.5 AS DOUBLE)
-          |FROM syn WHERE m = 11 OR m = 13 OR (m = 23 AND v % 2 = 1)
-          |UNION ALL
-          |SELECT doc_id, pos, 'history',
-          |       CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE m = 17 OR m = 27
-          |UNION ALL
-          |SELECT doc_id, pos, 'history', CAST(0.7 AS DOUBLE)
-          |FROM syn WHERE m = 20
-          |UNION ALL
-          |SELECT doc_id, pos, 'history',
-          |       CAST(CASE WHEN s % 2 = 0 THEN 0.4 ELSE 0.2 END AS DOUBLE)
-          |FROM syn WHERE m = 21
-          |UNION ALL
-          |SELECT doc_id, pos, 'geography', CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE m = 24
-          |UNION ALL
-          |SELECT doc_id, pos, 'culture', CAST(0.6 AS DOUBLE)
-          |FROM syn WHERE m = 25
-          |UNION ALL
-          |SELECT doc_id, pos, 'creatures', CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE m = 25 AND p % 6 = 4
-          |UNION ALL
-          |SELECT doc_id, pos, 'magic', CAST(0.2 AS DOUBLE)
-          |FROM syn WHERE m = 25 AND p % 6 = 5
-          |UNION ALL
-          |SELECT doc_id, pos, 'magic',
-          |       CAST(CASE WHEN v % 2 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE)
-          |FROM syn WHERE m = 26""".stripMargin),
-      "q31_worldbible_rules" -> Oracles.overSyn(
-        s"""SELECT doc_id, pos, 'capability' AS pattern_name,
-           |       'We must ride to ' || ${Oracles.ePlace} || ' at dawn' AS rule_text,
-           |       'themes' AS category
-           |FROM syn WHERE m = 11
-           |UNION ALL
-           |SELECT doc_id, pos, 'definition',
-           |       'All is well in ' || ${Oracles.ePlace}, 'themes'
-           |FROM syn WHERE m = 13
-           |UNION ALL
-           |SELECT doc_id, pos, 'definition',
-           |       ${Oracles.eSubj} || ' was born in the ' || ${Oracles.eEraB} || ' Age',
-           |       'history'
-           |FROM syn WHERE m = 20
-           |UNION ALL
-           |SELECT doc_id, pos, 'capability', 'We shall see', 'themes'
-           |FROM syn WHERE m = 23 AND v % 2 = 1
-           |UNION ALL
-           |SELECT doc_id, pos, 'capability',
-           |       'Only the wizards of ' || ${Oracles.ePlace} || ' can weave such spells',
-           |       'magic'
-           |FROM syn WHERE m = 26 AND v % 2 = 0
-           |UNION ALL
-           |SELECT doc_id, pos, 'capability',
-           |       ${Oracles.eSubj} || ' cannot wield such magic openly', 'magic'
-           |FROM syn WHERE m = 26 AND v % 2 = 1""".stripMargin),
+      "q30_worldbible_cat" -> worldbibleCatOracleSql,
+      "q31_worldbible_rules" -> worldbibleRulesOracleSql,
       "q32_lore_checks" -> loreOracleSql,
       "q46_mentioned_in" -> Oracles.overSyn(
         s""", ${Oracles.entityRowsCte}
@@ -1197,20 +1399,9 @@ object SparkEntry {
           |SELECT corpus, CAST(length(word) AS INT) AS length, count(*) AS cnt
           |FROM toks50 WHERE length(word) > 0 GROUP BY 1, 2""".stripMargin),
       "q49_fingerprint" -> fingerprintOracleSql,
-      "q43_cultures" -> Oracles.overSyn(
-        s"""SELECT people,
-           |       upper(substring(people, 1, 1)) || substring(people, 2) AS name,
-           |       passages FROM (
-           |  SELECT ${Oracles.ePeople} AS people, count(*) AS passages
-           |  FROM syn WHERE m = 25 GROUP BY 1
-           |) WHERE passages >= 2""".stripMargin),
-      "q44_magic" -> Oracles.overSyn(
-        """SELECT doc_id, pos,
-          |       CASE WHEN v % 2 = 1 THEN 'limitation' ELSE 'ability' END AS kind
-          |FROM syn WHERE m = 26""".stripMargin),
-      "q45_geography" -> Oracles.overSyn(
-        s"""SELECT ${Oracles.ePlace} AS name, count(*) AS passages
-           |FROM syn WHERE m = 24 GROUP BY 1""".stripMargin),
+      "q43_cultures" -> culturesOracleSql,
+      "q44_magic" -> magicOracleSql,
+      "q45_geography" -> geographyOracleSql,
       "q40_timeline" -> Oracles.overSyn(
         s", ${Oracles.timelineCte}\n" +
           "SELECT name, birth_era, death_era FROM timeline_rows"),
