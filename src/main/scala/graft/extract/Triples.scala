@@ -51,6 +51,17 @@ object Triples {
   private val WordToken: Pattern = Pattern.compile("""[A-Za-z][A-Za-z'-]*""")
   private val DetChunk: Pattern =
     Pattern.compile("""\b([Tt]he|[Aa]n?)\s+([a-z]+(?:\s+[a-z]+)?)\b""")
+  /** T3 NP widening (relationships.py:236-250 compound/amod/det lefts):
+    * a mention directly preceded by a determiner plus up to three
+    * lowercase modifier words widens to one NP spanning from the
+    * determiner — "the great dragon Smaug" binds as a single phrase whose
+    * head keeps the mention's identity. Anchored at the prefix end so it
+    * only fires on contiguous lefts; lexicon-verb words disqualify the
+    * widening (a dependency parse would attach them as the predicate, not
+    * a modifier).
+    */
+  private val DetPrefix: Pattern =
+    Pattern.compile("""\b([Tt]he|[Aa]n?)\s+((?:[a-z]+(?:'[a-z]+)?\s+){0,3})$""")
   private val QuoteRegion: Pattern =
     Pattern.compile("\"[^\"]*\"|“[^”]*”")
 
@@ -91,12 +102,24 @@ object Triples {
     }
     def quoteOf(p: Int): Int = quotes.indexWhere(r => p >= r._1 && p < r._2)
 
-    // candidate noun phrases: mentions + det-chunks
+    // candidate noun phrases: (det-widened) mentions + det-chunks
     val nps = scala.collection.mutable.ArrayBuffer.empty[Np]
-    mentions.foreach(m => nps += Np(m.text, m.start, m.end, fromMention = true))
+    val mentionNps = mentions.map { m =>
+      val pm = DetPrefix.matcher(text.substring(0, m.start))
+      val widened =
+        if (pm.find()) {
+          val mods = pm.group(2).split("\\s+").filter(_.nonEmpty)
+          if (mods.forall(w => !Lexicon.VerbToRelationship.contains(w.toLowerCase)))
+            Some(Np(text.substring(pm.start, m.end), pm.start, m.end,
+              fromMention = true))
+          else None
+        } else None
+      widened.getOrElse(Np(m.text, m.start, m.end, fromMention = true))
+    }
+    mentionNps.foreach(nps += _)
     val dm = DetChunk.matcher(text)
     while (dm.find()) {
-      val overlapsMention = mentions.exists(m => !(dm.end <= m.start || dm.start >= m.end))
+      val overlapsMention = mentionNps.exists(m => !(dm.end <= m.start || dm.start >= m.end))
       if (!overlapsMention) nps += Np(dm.group(0), dm.start, dm.end, fromMention = false)
     }
     val sortedNps = nps.sortBy(_.start).toSeq

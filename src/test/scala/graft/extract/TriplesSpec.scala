@@ -79,4 +79,38 @@ class TriplesSpec extends AnyFunSuite {
         arg("Hobbiton", 30, Some("hobbiton"), "place")))
     assert(out.isEmpty)
   }
+
+  test("T3 widening: 'The great dragon Smaug' binds as one NP (relationships.py:236-250)") {
+    val out = Triples.extract(
+      "The great dragon Smaug attacked Bilbo.",
+      Seq(arg("Smaug", 17, Some("smaug"), "character"),
+        arg("Bilbo", 32, Some("bilbo"), "character")))
+    val fought = out.find(_._2 == "FOUGHT_AGAINST").get
+    assert(fought._1 == "The great dragon Smaug") // widened subject text
+    assert(fought._3.flatMap(_.id).contains("smaug")) // head keeps identity
+    assert(fought._5.flatMap(_.id).contains("bilbo"))
+  }
+
+  test("T3 widening: object side 'the old wizard Gandalf'") {
+    val out = Triples.extract(
+      "Bilbo met the old wizard Gandalf.",
+      Seq(arg("Bilbo", 0, Some("bilbo"), "character"),
+        arg("Gandalf", 25, Some("gandalf"), "character")))
+    val met = out.find(_._2 == "MET").get
+    assert(met._4 == "the old wizard Gandalf")
+    assert(met._5.flatMap(_.id).contains("gandalf"))
+  }
+
+  test("T3 widening does not cross a lexicon verb") {
+    // the prefix 'the attacked ' contains a lexicon verb, so Smaug must
+    // NOT widen to 'the attacked Smaug' (a dependency parse would attach
+    // 'attacked' as a predicate, not a modifier)
+    val out = Triples.extract(
+      "Bilbo helped the attacked Smaug.",
+      Seq(arg("Bilbo", 0, Some("bilbo"), "character"),
+        arg("Smaug", 26, Some("smaug"), "character")))
+    val helped = out.find(_._2 == "HELPED").get
+    assert(helped._4 == "the attacked") // plain det-chunk, not widened NP
+    assert(helped._5.isEmpty)
+  }
 }
