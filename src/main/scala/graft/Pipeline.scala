@@ -38,9 +38,20 @@ object Pipeline {
     val it = stageCache.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-    stageCache.computeIfAbsent(
-      (spark.sparkContext.applicationId + "#" + stage, inputFingerprint(sfDir)),
-      _ => (spark, build.localCheckpoint(true)))._2
+    val key =
+      (spark.sparkContext.applicationId + "#" + stage, inputFingerprint(sfDir))
+    // get-then-putIfAbsent, NOT computeIfAbsent: building a stage may
+    // recursively build its upstream stages through this same cache, and a
+    // nested computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    // update". A racy duplicate build is benign (one extra checkpoint,
+    // first insert wins).
+    val hit = stageCache.get(key)
+    if (hit != null) hit._2
+    else {
+      val df = build.localCheckpoint(true)
+      val prev = stageCache.putIfAbsent(key, (spark, df))
+      if (prev != null) prev._2 else df
+    }
   }
 
   /** Per-lineitem span rows — materialized once per (session, dir); the

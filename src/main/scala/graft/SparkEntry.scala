@@ -212,6 +212,33 @@ object SparkEntry {
     "q40_timeline" -> ((s, dir) =>
       graft.lore.Temporal.timeline(s, Pipeline.textual(s, dir))
         .select("name", "birth_era", "death_era")),
+    // X5 consolidation: three same-passage mentions per lineitem row —
+    // "<Name>", "<Name> Took" (both character) and "<Name> Field" (place).
+    // cooc>=3 + containment merges <Name> <-> "<Name> Took", which the
+    // cross-book fuzzy tier alone MISSES (indel ratio 0.67 < 0.85, and the
+    // (first char, |len diff| <= 3) blocking never even pairs them); the
+    // place variant shares the containment but not the type, so the X5
+    // type constraint keeps it a separate entity.
+    "q51_consolidation" -> ((s, dir) => {
+      val nameCol = element_at(typedlit(q51Names),
+        pmod(col("l_orderkey"), lit(20)).cast("int") + 1)
+      val base = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("c"), col("l_orderkey")).as("doc_id"),
+        col("l_linenumber").cast("int").as("pos"),
+        pmod(col("l_orderkey"), lit(4)).as("book"),
+        nameCol.as("nm"))
+      val ments = base.select(col("doc_id"), col("pos"), col("book"),
+          explode(array(
+            struct(col("nm").as("text"), lit("character").as("entity_type")),
+            struct(concat(col("nm"), lit(" Took")).as("text"),
+              lit("character").as("entity_type")),
+            struct(concat(col("nm"), lit(" Field")).as("text"),
+              lit("place").as("entity_type")))).as("mn"))
+        .select(col("doc_id"), col("pos"), col("book"),
+          col("mn.text").as("text"), col("mn.entity_type").as("entity_type"))
+      graft.corpus.CrossBook
+        .resolveAll(s, Pipeline.textual(s, dir), ments, col("book"))._1
+    }),
     // raw-text splitter round trip: re-splitting the reconstructed doc
     // (paragraph-joined spans) must reproduce the span texts exactly
     "q29_split_roundtrip" -> ((s, dir) => {
@@ -361,6 +388,13 @@ object SparkEntry {
     OracleClaim("Perhaps beyond the misty mountains", "unknown"))
 
   private def sq(s: String): String = s.replace("'", "''")
+
+  /** q51 synthetic names: 20 distinct first letters so the blocked fuzzy
+    * join has zero candidate pairs across families, and length 5 vs the
+    * 10/11-char variants so within-family pairs miss the |len| <= 3 band —
+    * the X5 merges are attributable to the consolidation edges alone.
+    */
+  private[graft] val q51Names: Seq[String] = ('A' to 'T').map(c => s"${c}aron")
 
   private def sqlStrList(xs: Seq[String]): String =
     xs.map(x => "'" + sq(x) + "'").mkString("[", ", ", "]")
@@ -839,6 +873,72 @@ object SparkEntry {
          |  split_part(item, chr(9), 2) AS rule_text,
          |  split_part(item, chr(9), 3) AS category
          |FROM wbkept WHERE item <> ''""".stripMargin)
+  }
+
+  /** q51 oracle: the X5 consolidation re-derived in DuckDB — same-passage
+    * co-occurrence counts, containment merge heuristic, type-compatibility
+    * constraint, then connected components (star components, so two
+    * min-label rounds reach the fixpoint). Fuzzy/article/alias families
+    * are provably empty on this input (see [[q51Names]]).
+    */
+  private def consolidationOracleSql: String = {
+    val nameRows = q51Names.zipWithIndex
+      .map { case (n, i) => s"($i, '${n.toLowerCase}')" }.mkString(", ")
+    s"""WITH names(si, nm) AS (VALUES $nameRows),
+       |base AS (
+       |  SELECT 'c' || l_orderkey AS doc_id, CAST(l_linenumber AS INT) AS pos,
+       |         l_orderkey % 4 AS book, nm
+       |  FROM lineitem JOIN names ON names.si = l_orderkey % 20
+       |),
+       |ments AS (
+       |  SELECT doc_id, pos, book, nm AS node, 'character' AS et FROM base
+       |  UNION ALL
+       |  SELECT doc_id, pos, book, nm || ' took', 'character' FROM base
+       |  UNION ALL
+       |  SELECT doc_id, pos, book, nm || ' field', 'place' FROM base
+       |),
+       |pp AS (SELECT doc_id, pos, list_sort(list(DISTINCT node)) AS ks
+       |       FROM ments GROUP BY 1, 2),
+       |p1 AS (SELECT ks, unnest(generate_series(1, len(ks))) AS i FROM pp),
+       |p2 AS (SELECT ks, i, unnest(generate_series(i + 1, len(ks))) AS j
+       |       FROM p1),
+       |cooc AS (SELECT ks[i] AS src, ks[j] AS dst, count(*) AS cnt
+       |         FROM p2 GROUP BY 1, 2),
+       |ntypes AS (SELECT node, min(et) AS t FROM ments GROUP BY 1),
+       |e0 AS (
+       |  SELECT src, dst FROM cooc
+       |  JOIN ntypes t1 ON t1.node = src
+       |  JOIN ntypes t2 ON t2.node = dst
+       |  WHERE cnt >= 3
+       |    AND (src LIKE '%' || dst || '%' OR dst LIKE '%' || src || '%'
+       |         OR src = 'the ' || dst OR dst = 'the ' || src)
+       |    AND (t1.t = 'unknown' OR t2.t = 'unknown' OR t1.t = t2.t)
+       |),
+       |nodes AS (SELECT DISTINCT node FROM ments),
+       |sym AS (SELECT src AS a, dst AS b FROM e0
+       |        UNION SELECT dst AS a, src AS b FROM e0),
+       |l1 AS (
+       |  SELECT node, min(x) AS c FROM (
+       |    SELECT node, node AS x FROM nodes
+       |    UNION ALL SELECT a AS node, b AS x FROM sym
+       |  ) GROUP BY node
+       |),
+       |l2 AS (
+       |  SELECT node, min(x) AS cluster FROM (
+       |    SELECT node, c AS x FROM l1
+       |    UNION ALL
+       |    SELECT s.a AS node, l.c AS x FROM sym s JOIN l1 l ON l.node = s.b
+       |  ) GROUP BY node
+       |)
+       |SELECT l2.cluster AS entity,
+       |       count(DISTINCT m.book) AS books_appeared,
+       |       count(*) AS total_mentions,
+       |       count(DISTINCT m.node) AS member_count,
+       |       greatest(count(DISTINCT CASE WHEN m.et <> 'unknown'
+       |                                    THEN m.et END) - 1, 0)
+       |         AS type_conflicts
+       |FROM ments m JOIN l2 ON l2.node = m.node
+       |GROUP BY 1""".stripMargin
   }
 
   /** q43: culture-categorized passages bucketed by people keywords
@@ -1399,6 +1499,7 @@ object SparkEntry {
           |SELECT corpus, CAST(length(word) AS INT) AS length, count(*) AS cnt
           |FROM toks50 WHERE length(word) > 0 GROUP BY 1, 2""".stripMargin),
       "q49_fingerprint" -> fingerprintOracleSql,
+      "q51_consolidation" -> consolidationOracleSql,
       "q43_cultures" -> culturesOracleSql,
       "q44_magic" -> magicOracleSql,
       "q45_geography" -> geographyOracleSql,

@@ -29,6 +29,9 @@ object CrossBook {
       .withColumn("node", Linker.cleanKey(col("text")))
       .localCheckpoint(true)
     val nodes = m.select("node").distinct()
+    val typed =
+      if (m.columns.contains("entity_type")) m
+      else m.withColumn("entity_type", lit("unknown"))
 
     // fuzzy edges at the cross-book 0.85 threshold (X3); blocked
     // equi-join on (first char, length) — see Canonicalize.fuzzyEdges
@@ -37,8 +40,34 @@ object CrossBook {
       .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
 
-    val (assignment, _) =
-      ConnectedComponents.run(spark, nodes, eFuzzy.union(eAlias).distinct())
+    // X5 consolidation edges (resolver.py:341-387): the within-book
+    // canonicalizer's name-set connections — article-strip equality and
+    // co-occurrence>=3 passing the containment merge heuristic — that the
+    // 0.85 fuzzy tier alone misses (e.g. "bilbo" <-> "bilbo baggins",
+    // ratio 0.67). The reference consolidates only within an entity type
+    // (by_type grouping, resolver.py:345-350), so each edge is constrained
+    // to endpoints whose majority mention types are compatible (equal, or
+    // either unknown). Majority type per node = most frequent non-unknown
+    // entity_type, ties to the lexicographically smaller — a broadcastable
+    // dimension of the node table.
+    val nodeTypes = typed
+      .filter(col("entity_type") =!= "unknown")
+      .groupBy("node", "entity_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(min_by(col("entity_type"),
+        struct((col("cnt") * -1).as("nc"), col("entity_type"))).as("ntype"))
+    def typeOf(end: String) = broadcast(nodeTypes
+      .select(col("node").as(end), col("ntype").as(s"${end}_t")))
+    val eConsolidate = Canonicalize.articleEdges(nodes)
+      .union(Canonicalize.coocMergeEdges(m))
+      .join(typeOf("src"), Seq("src"), "left")
+      .join(typeOf("dst"), Seq("dst"), "left")
+      .filter(col("src_t").isNull || col("dst_t").isNull ||
+        col("src_t") === col("dst_t"))
+      .select("src", "dst")
+
+    val (assignment, _) = ConnectedComponents.run(spark, nodes,
+      eFuzzy.union(eAlias).union(eConsolidate).distinct())
 
     // X4 type-conflict tracking (resolver.py:329-339): clusters whose
     // member mentions carry more than one known entity type. Batch
@@ -46,9 +75,6 @@ object CrossBook {
     // conflicts = (# distinct non-unknown types) - 1, floored at 0.
     // Requires the input mentions to carry entity_type (linked mentions);
     // raw mentions degrade gracefully to 0 conflicts.
-    val typed =
-      if (m.columns.contains("entity_type")) m
-      else m.withColumn("entity_type", lit("unknown"))
     val entities = typed.join(assignment, Seq("node"))
       .groupBy(col("cluster").as("entity"))
       .agg(

@@ -95,6 +95,26 @@ object Canonicalize {
     a.contains(b) || b.contains(a) ||
       (a === concat(lit("the "), b)) || (b === concat(lit("the "), a))
 
+  /** Article-strip equality edges: "the X" == "X" (D1 tier 2). */
+  private[graft] def articleEdges(nodes: DataFrame): DataFrame = {
+    val stripped = nodes
+      .withColumn("stripped", Linker.stripArticle(col("node")))
+      .filter(col("stripped") =!= col("node"))
+    stripped
+      .join(nodes.withColumnRenamed("node", "dst"),
+        col("stripped") === col("dst"))
+      .select(col("node").as("src"), col("dst"))
+  }
+
+  /** Co-occurrence >= 3 passing the merge heuristic (D2-D4, D3 default
+    * min_cooccurrence=3, dynamic_resolver.py:196).
+    */
+  private[graft] def coocMergeEdges(mentions: DataFrame): DataFrame =
+    cooccurrence(mentions)
+      .filter(col("cnt") >= 3)
+      .filter(shouldMerge(col("src"), col("dst")))
+      .select("src", "dst")
+
   /** Build the full alias-similarity edge set over mention keys. */
   def edges(
       spark: SparkSession,
@@ -104,13 +124,7 @@ object Canonicalize {
     val nodes = mentions.select(Linker.cleanKey(col("text")).as("node")).distinct()
 
     // 1. article-strip equality
-    val stripped = nodes
-      .withColumn("stripped", Linker.stripArticle(col("node")))
-      .filter(col("stripped") =!= col("node"))
-    val eArticle = stripped
-      .join(nodes.withColumnRenamed("node", "dst"),
-        col("stripped") === col("dst"))
-      .select(col("node").as("src"), col("dst"))
+    val eArticle = articleEdges(nodes)
 
     // 2. blocked fuzzy self-join at the 0.90 cluster-match threshold
     //    (dynamic_resolver.py:148-151). The candidate set is (first char,
@@ -127,12 +141,8 @@ object Canonicalize {
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .select("src", "dst")
 
-    // 4. co-occurrence >= 3 passing the merge heuristic (D3 default
-    //    min_cooccurrence=3, dynamic_resolver.py:196)
-    val eCooc = cooccurrence(mentions)
-      .filter(col("cnt") >= 3)
-      .filter(shouldMerge(col("src"), col("dst")))
-      .select("src", "dst")
+    // 4. co-occurrence >= 3 passing the merge heuristic
+    val eCooc = coocMergeEdges(mentions)
 
     eArticle.union(eFuzzy).union(eAlias).union(eCooc).distinct()
   }
