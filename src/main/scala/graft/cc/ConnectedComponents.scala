@@ -27,39 +27,58 @@ object ConnectedComponents {
   /** @param edges  DataFrame with string columns (src, dst)
     * @param nodes  DataFrame with string column (node); superset of edge
     *               endpoints (singletons allowed)
+    * @param checkpoints  optional durable per-superstep persistence: when
+    *               set, the symmetric edge set and every superstep's label
+    *               table run through [[graft.graph.Checkpoints.stage]]
+    *               (stages `cc_sym`, `cc_labels_<k>`), so a run killed
+    *               mid-CC resumes from the last completed superstep instead
+    *               of restarting — and survives executor loss, which a
+    *               localCheckpoint does not. Default stays localCheckpoint
+    *               (lineage truncation only): right for the ephemeral
+    *               query paths, wrong for the long materialization job.
     * @return (assignment DataFrame (node, cluster), superstep metrics)
     */
   def run(
       spark: SparkSession,
       nodes: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 20): (DataFrame, Seq[Superstep]) = {
+      maxIter: Int = 20,
+      checkpoints: Option[graft.graph.Checkpoints] = None): (DataFrame, Seq[Superstep]) = {
+
+    def pin(name: String)(df: => DataFrame): DataFrame = checkpoints match {
+      case Some(ck) => ck.stage(name)(df)
+      case None => df.localCheckpoint(true)
+    }
 
     // symmetric edge set, self-contained column names; materialized once —
     // otherwise every superstep would recompute the (expensive) upstream
     // edge derivation (fuzzy self-join, alias regex scan)
-    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = pin("cc_sym") {
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
 
-    var labels = nodes.select(col("node"), col("node").as("cluster"))
-      .localCheckpoint(true)
+    var labels = pin("cc_labels_0") {
+      nodes.select(col("node"), col("node").as("cluster"))
+    }
     val metrics = scala.collection.mutable.ArrayBuffer.empty[Superstep]
 
     var converged = false
     var step = 0
     while (!converged && step < maxIter) {
       step += 1
+      val prev = labels
       // neighbor labels: for node a, labels of its neighbors b
-      val neighborLabels = sym
-        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
-        .select(col("a").as("node"), col("cluster"))
-      val next = labels.select("node", "cluster")
-        .union(neighborLabels)
-        .groupBy("node")
-        .agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true) // truncate lineage per superstep
+      val next = pin(s"cc_labels_$step") {
+        val neighborLabels = sym
+          .join(prev.withColumnRenamed("node", "b"), Seq("b"))
+          .select(col("a").as("node"), col("cluster"))
+        prev.select("node", "cluster")
+          .union(neighborLabels)
+          .groupBy("node")
+          .agg(min(col("cluster")).as("cluster"))
+      }
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
         .filter(col("cluster") =!= col("old"))
         .count()

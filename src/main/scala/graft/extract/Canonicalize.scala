@@ -148,18 +148,26 @@ object Canonicalize {
   }
 
   /** Full canonicalization: (node -> cluster) assignment plus superstep
-    * metrics. Cluster id = min member key (deterministic).
+    * metrics. Cluster id = min member key (deterministic). With
+    * `checkpoints` set, the edge derivation and every CC superstep persist
+    * through the checkpoint table (stages `cc_edges`, `cc_sym`,
+    * `cc_labels_<k>`) so a killed run resumes mid-CC.
     */
   def clusters(
       spark: SparkSession,
       textualPassages: DataFrame,
-      mentions: DataFrame): (DataFrame, Seq[ConnectedComponents.Superstep]) = {
+      mentions: DataFrame,
+      checkpoints: Option[graft.graph.Checkpoints] = None)
+      : (DataFrame, Seq[ConnectedComponents.Superstep]) = {
     // materialize the mention stage once — nodes and three of the four
     // edge families all read it
     val m = mentions.select("doc_id", "pos", "text").localCheckpoint(true)
     val nodes = m.select(Linker.cleanKey(col("text")).as("node")).distinct()
-    val e = edges(spark, textualPassages, m)
-    ConnectedComponents.run(spark, nodes, e)
+    val e = checkpoints match {
+      case Some(ck) => ck.stage("cc_edges") { edges(spark, textualPassages, m) }
+      case None => edges(spark, textualPassages, m)
+    }
+    ConnectedComponents.run(spark, nodes, e, checkpoints = checkpoints)
   }
 
   /** D8 dynamic-registry resolve (dynamic_resolver.py:352-389): resolve

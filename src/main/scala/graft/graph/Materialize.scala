@@ -305,7 +305,11 @@ object Materialize {
       graft.extract.Triples.fromPassages(spark, passages, linked).toDF()
     }
     ck.stage("clusters") {
-      val (assignment, steps) = Canonicalize.clusters(spark, passages, mentions)
+      // supersteps persist through the checkpoint table (cc_edges, cc_sym,
+      // cc_labels_<k>), so a run killed mid-CC resumes from the last
+      // completed superstep — localCheckpoint would die with the executors
+      val (assignment, steps) =
+        Canonicalize.clusters(spark, passages, mentions, Some(ck))
       steps.foreach(s =>
         ck.recordMetric("cc_superstep", s.superstep, s.changed, "superstep"))
       assignment

@@ -72,6 +72,39 @@ class MaterializeSpec extends SparkSpec {
       s"lineage partitions $ckParts != part files $partFiles")
   }
 
+  test("mid-CC kill: completed supersteps are reused, clusters byte-identical") {
+    val wh = Files.createTempDirectory("graft_whcc").toString
+    Materialize.runAll(spark, sf, wh)
+    val baseline = spark.read.parquet(s"$wh/clusters")
+      .orderBy("node", "cluster").collect().toSeq
+    assert(baseline.nonEmpty)
+
+    // simulate a crash between superstep 1 and the rest: the final
+    // clusters output and supersteps > 1 are lost, cc_edges/cc_sym/
+    // cc_labels_{0,1} survive
+    def rmStage(name: String): Unit = {
+      val d = new java.io.File(s"$wh/$name")
+      if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    rmStage("clusters")
+    new java.io.File(wh).listFiles()
+      .filter(f => f.getName.startsWith("cc_labels_") &&
+        f.getName.stripPrefix("cc_labels_").toInt > 1)
+      .foreach(f => rmStage(f.getName))
+
+    val survivor = new java.io.File(s"$wh/cc_labels_1/_SUCCESS")
+    assert(survivor.exists())
+    val mtime = survivor.lastModified()
+
+    val resumed = Materialize.runAll(spark, sf, wh)
+    assert(resumed.count() > 0)
+    val clusters2 = spark.read.parquet(s"$wh/clusters")
+      .orderBy("node", "cluster").collect().toSeq
+    assert(clusters2 == baseline, "resumed clusters differ from baseline")
+    assert(survivor.lastModified() == mtime,
+      "completed superstep was recomputed on resume")
+  }
+
   test("fingerprint mismatch: stages recompute instead of loading stale output") {
     val wh = Files.createTempDirectory("graft_wh3").toString
     import spark.implicits._
