@@ -239,6 +239,21 @@ object SparkEntry {
       graft.corpus.CrossBook
         .resolveAll(s, Pipeline.textual(s, dir), ments, col("book"))._1
     }),
+    // E13 explicit ORDER relations surfaced as a table: deterministic
+    // passages with before/after/followed statements synthesized from
+    // lineitem; the oracle re-runs the ORDER regexes in DuckDB. (The main
+    // corpus plants no ORDER statements, so this is the query that
+    // exercises Temporal.relations end-to-end — VERDICT r02 missing #4.)
+    "q52_temporal_relations" -> ((s, dir) => {
+      def nm(off: Int) = element_at(typedlit(q51Names),
+        pmod(col("l_orderkey") + off, lit(20)).cast("int") + 1)
+      val passages = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("t"), col("l_orderkey")).as("doc_id"),
+        col("l_linenumber").cast("int").as("pos"),
+        concat(nm(0), lit(" came before "), nm(1), lit(". "),
+          nm(2), lit(" followed "), nm(3), lit(".")).as("text"))
+      graft.lore.Temporal.relations(s, passages)
+    }),
     // raw-text splitter round trip: re-splitting the reconstructed doc
     // (paragraph-joined spans) must reproduce the span texts exactly
     "q29_split_roundtrip" -> ((s, dir) => {
@@ -941,6 +956,45 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q52 oracle: the four ORDER_PATTERNS (temporal.py:276-281) re-run in
+    * DuckDB over the same synthesized passages — group-1/group-2 extracts
+    * zipped by match index.
+    */
+  private def temporalRelationsOracleSql: String = {
+    val nameRows = q51Names.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+    val pats = Seq(
+      ("""(\w+(?:\s+\w+)?)\s+(?:came\s+)?before\s+(\w+(?:\s+\w+)?)""", "before"),
+      ("""(\w+(?:\s+\w+)?)\s+(?:came\s+)?after\s+(\w+(?:\s+\w+)?)""", "after"),
+      ("""(\w+(?:\s+\w+)?)\s+preceded\s+(\w+(?:\s+\w+)?)""", "before"),
+      ("""(\w+(?:\s+\w+)?)\s+followed\s+(\w+(?:\s+\w+)?)""", "after"))
+      .map { case (p, r) => s"('(?i)${sq(p)}', '$r')" }.mkString(",\n    ")
+    s"""WITH names(si, nm) AS (VALUES $nameRows),
+       |base AS (
+       |  SELECT 't' || l_orderkey AS doc_id, CAST(l_linenumber AS INT) AS pos,
+       |         n0.nm || ' came before ' || n1.nm || '. ' ||
+       |         n2.nm || ' followed ' || n3.nm || '.' AS text
+       |  FROM lineitem
+       |  JOIN names n0 ON n0.si = l_orderkey % 20
+       |  JOIN names n1 ON n1.si = (l_orderkey + 1) % 20
+       |  JOIN names n2 ON n2.si = (l_orderkey + 2) % 20
+       |  JOIN names n3 ON n3.si = (l_orderkey + 3) % 20
+       |),
+       |pats(pat, rel) AS (VALUES
+       |    $pats),
+       |mx AS (
+       |  SELECT doc_id, pos, rel,
+       |         regexp_extract_all(text, pat, 1) AS g1,
+       |         regexp_extract_all(text, pat, 2) AS g2
+       |  FROM base, pats
+       |),
+       |u AS (SELECT doc_id, pos, rel, g1, g2,
+       |             unnest(generate_series(1, len(g1))) AS i
+       |      FROM mx)
+       |SELECT doc_id, pos, g1[i] AS subject, rel AS relation, g2[i] AS object
+       |FROM u""".stripMargin
+  }
+
   /** q43: culture-categorized passages bucketed by people keywords
     * (extractor.py:302-349), >= 2 passages each.
     */
@@ -1500,6 +1554,7 @@ object SparkEntry {
           |FROM toks50 WHERE length(word) > 0 GROUP BY 1, 2""".stripMargin),
       "q49_fingerprint" -> fingerprintOracleSql,
       "q51_consolidation" -> consolidationOracleSql,
+      "q52_temporal_relations" -> temporalRelationsOracleSql,
       "q43_cultures" -> culturesOracleSql,
       "q44_magic" -> magicOracleSql,
       "q45_geography" -> geographyOracleSql,
