@@ -54,6 +54,31 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
+  test("per-text cost stays ~flat when the alias count grows 10x") {
+    // the point of the automaton: scan cost is O(|text| + hits), not
+    // O(|aliases| x |text|). Non-matching aliases are free after the
+    // one-time build. Timing bound is deliberately loose (shared CI box):
+    // a linear-in-aliases scan would cost ~10x, we assert < 4x.
+    val rnd = new scala.util.Random(7)
+    def aliases(n: Int): IndexedSeq[String] =
+      (0 until n).map(i => s"zz${('a' + i % 26).toChar}${i}q") // never match
+    val text = (1 to 400).map(_ => "abcdefgh "(rnd.nextInt(9))).mkString
+    def perTextNanos(ac: AhoCorasick): Double = {
+      (1 to 200).foreach(_ => ac.find(text)) // warm JIT
+      val reps = 2000
+      val t0 = System.nanoTime()
+      (1 to reps).foreach(_ => ac.find(text))
+      (System.nanoTime() - t0).toDouble / reps
+    }
+    val small = new AhoCorasick(aliases(72))
+    val big = new AhoCorasick(aliases(720))
+    // min-of-3 per side to reject co-tenant noise
+    val tSmall = (1 to 3).map(_ => perTextNanos(small)).min
+    val tBig = (1 to 3).map(_ => perTextNanos(big)).min
+    assert(tBig < tSmall * 4,
+      f"10x aliases cost ${tBig / tSmall}%.1fx per text - scan is not alias-independent")
+  }
+
   test("gazetteer scan inside Mentions matches the Seq path") {
     val gaz = Seq("gandalf" -> "character", "moria" -> "place",
       "mithrandir" -> "character")
