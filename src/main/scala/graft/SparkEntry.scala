@@ -130,6 +130,12 @@ object SparkEntry {
         maxHamming = 6)),
     "q28_ann_lsh" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64)),
+    // IVF scale path (coarse-quantizer cells + nprobe search); approximate
+    // like q28, so rows-only in the driver compare — SimilaritySpec
+    // asserts exact equality with brute force at nprobe = nlist and a
+    // recall floor at nprobe < nlist
+    "q53_ann_ivf" -> ((s, dir) =>
+      graft.ml.Similarity.ivfTopK(embTable(s, dir))),
     "q33_distinctive_words" -> ((s, dir) =>
       graft.voice.Profiles.distinctiveWords(
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),

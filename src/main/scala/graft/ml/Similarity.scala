@@ -63,6 +63,19 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Index of the max-cosine centroid for `emb` (IVF cell assignment). */
+  private def nearestCell(emb: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val s = cosineKernel(emb, cs(c))
+      if (s > bestCos) { bestCos = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   private def collectVecs(embeddings: DataFrame,
       cond: Column): Array[(Long, Array[Float])] = {
     import embeddings.sparkSession.implicits._
@@ -266,6 +279,101 @@ object Similarity {
         .reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to [[lshTopK]]: a coarse quantizer assigns every vector to one of
+    * `nlist` cells, and a query exact-reranks only its `nprobe` nearest
+    * cells, cutting per-query work from O(N) to O(N * nprobe / nlist) on
+    * balanced lists.
+    *
+    * Training is deterministic Lloyd iterations expressed Spark-side:
+    * init = the `nlist` smallest vec_ids; each iteration is one narrow
+    * mapPartitions producing per-partition (cell, sum, count) PARTIALS
+    * (map-side combine — O(nlist x partitions) rows reach the driver, never
+    * O(N)), folded into new centroid means. Assignment and search are a
+    * broadcast of the tiny centroid/probe tables against the embedding
+    * table — the big side never shuffles.
+    *
+    * With nprobe = nlist the search degenerates to an exact full scan and
+    * returns byte-identically the [[bruteForceTopK]] result (asserted by
+    * SimilaritySpec); smaller nprobe trades recall for scan fraction.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iterations: Int = 3): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val spark = embeddings.sparkSession
+    val vecs = embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    // deterministic init: the nlist smallest vec_ids (dense ids by the
+    // embeddings contract)
+    var centroids: Array[Array[Float]] =
+      collectVecs(embeddings, col("vec_id") < nlist).sortBy(_._1).map(_._2)
+
+    (1 to iterations).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val dim = cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, emb) =>
+          val c = nearestCell(emb, cs)
+          counts(c) += 1
+          var j = 0
+          val n = math.min(dim, emb.length)
+          while (j < n) { sums(c)(j) += emb(j); j += 1 }
+        }
+        (0 until cs.length).iterator
+          .filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }.collect() // O(nlist x partitions) tiny partial rows, never O(N)
+      centroids = centroids.indices.map { c =>
+        val mine = partials.filter(_._1 == c)
+        if (mine.isEmpty) centroids(c) // empty cell keeps its centroid
+        else {
+          val n = mine.map(_._3).sum.toDouble
+          val dim = centroids(c).length
+          val s = new Array[Double](dim)
+          mine.foreach(p => (0 until dim).foreach(j => s(j) += p._2(j)))
+          Array.tabulate(dim)(j => (s(j) / n).toFloat)
+        }
+      }.toArray
+    }
+
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bcFinal.value
+      it.map { case (vid, emb) => (vid, emb, nearestCell(emb, cs)) }
+    }.toDF("vid", "emb", "cell")
+
+    // probe table: each query x its nprobe nearest cells (tiny, broadcast)
+    val probes = collectVecs(embeddings, col("vec_id") < numQueries)
+      .flatMap { case (qid, qemb) =>
+        centroids.indices
+          .map(c => (c, cosineKernel(qemb, centroids(c))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(nprobe)
+          .map { case (c, _) => (qid, c, qemb) }
+      }.toSeq
+    val probesDf = broadcast(
+      spark.createDataset(probes).toDF("query_id", "cell", "q_emb"))
+
+    val scored = assigned.join(probesDf, Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        cosine(col("q_emb"), col("emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
   }
 
   /** LSH-bucketed approximate top-k with multi-band OR-amplification:

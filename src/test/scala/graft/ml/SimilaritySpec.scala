@@ -46,6 +46,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L, 2L))
   }
 
+  test("IVF top-k: nprobe = nlist is byte-identical to brute force") {
+    // 40 deterministic pseudo-random vectors; probing every cell must
+    // degenerate to the exact full scan regardless of centroid placement
+    val rnd = new scala.util.Random(11)
+    val e = emb((0L until 40L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)): _*)
+    val exact = Similarity.bruteForceTopK(e, numQueries = 4, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivf = Similarity.ivfTopK(e, numQueries = 4, k = 3,
+      nlist = 4, nprobe = 4, iterations = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("IVF top-k: nprobe < nlist keeps clustered neighbors (recall)") {
+    // two tight clusters far apart: each query's true neighbors share its
+    // cell, so probing 1 of 2 cells must still find them
+    val a = Seq(1f, 0f, 0f, 0f)
+    val b = Seq(0f, 0f, 1f, 0f)
+    def jitter(v: Seq[Float], eps: Float) =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 1 || i == 3) eps else 0f) }
+    val e = emb(
+      0L -> jitter(a, 0.01f), 1L -> jitter(b, 0.01f),
+      2L -> jitter(a, 0.02f), 3L -> jitter(a, 0.03f),
+      4L -> jitter(b, 0.02f), 5L -> jitter(b, 0.03f),
+      6L -> jitter(a, 0.04f), 7L -> jitter(b, 0.04f))
+    val got = Similarity.ivfTopK(e, numQueries = 2, k = 2,
+      nlist = 2, nprobe = 1, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // query 0 (cluster a) finds a-members, query 1 (cluster b) b-members
+    assert(got == Set((0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L)))
+  }
+
   test("near-dup pairs at threshold") {
     val e = emb(
       0L -> Seq(1f, 0f),
