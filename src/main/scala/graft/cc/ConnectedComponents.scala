@@ -79,10 +79,18 @@ object ConnectedComponents {
           .groupBy("node")
           .agg(min(col("cluster")).as("cluster"))
       }
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
-        .filter(col("cluster") =!= col("old"))
-        .count()
-      metrics += Superstep(step, changed, next.count())
+      // one action for both superstep metrics (changed + active): the
+      // node sets of consecutive label tables are identical, so the inner
+      // join's row count IS the active count
+      val row = next
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
+        .agg(
+          sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"),
+          count(lit(1)).as("active"))
+        .collect()(0)
+      val changed = row.getLong(0)
+      metrics += Superstep(step, changed, row.getLong(1))
       labels = next
       converged = changed == 0
     }

@@ -48,16 +48,18 @@ object CrossBook {
     // (by_type grouping, resolver.py:345-350), so each edge is constrained
     // to endpoints whose majority mention types are compatible (equal, or
     // either unknown). Majority type per node = most frequent non-unknown
-    // entity_type, ties to the lexicographically smaller — a broadcastable
-    // dimension of the node table.
+    // entity_type, ties to the lexicographically smaller. No broadcast
+    // hint: nodeTypes is O(distinct mention keys) — large at corpus scale —
+    // while the edge side is small; the equi-join lets AQE pick the build
+    // side per actual sizes.
     val nodeTypes = typed
       .filter(col("entity_type") =!= "unknown")
       .groupBy("node", "entity_type").agg(count(lit(1)).as("cnt"))
       .groupBy("node")
       .agg(min_by(col("entity_type"),
         struct((col("cnt") * -1).as("nc"), col("entity_type"))).as("ntype"))
-    def typeOf(end: String) = broadcast(nodeTypes
-      .select(col("node").as(end), col("ntype").as(s"${end}_t")))
+    def typeOf(end: String) = nodeTypes
+      .select(col("node").as(end), col("ntype").as(s"${end}_t"))
     val eConsolidate = Canonicalize.articleEdges(nodes)
       .union(Canonicalize.coocMergeEdges(m))
       .join(typeOf("src"), Seq("src"), "left")
