@@ -228,11 +228,15 @@ object SparkEntry {
     "q51_consolidation" -> ((s, dir) => {
       val nameCol = element_at(typedlit(q51Names),
         pmod(col("l_orderkey"), lit(20)).cast("int") + 1)
-      val base = s.read.parquet(s"$dir/lineitem.parquet").select(
-        concat(lit("c"), col("l_orderkey")).as("doc_id"),
-        col("l_linenumber").cast("int").as("pos"),
-        pmod(col("l_orderkey"), lit(4)).as("book"),
-        nameCol.as("nm"))
+      // lineitem is one parquet split at small SF — spread the narrow
+      // mention synthesis across cores (same rationale as Pipeline.textual)
+      val base = s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          concat(lit("c"), col("l_orderkey")).as("doc_id"),
+          col("l_linenumber").cast("int").as("pos"),
+          pmod(col("l_orderkey"), lit(4)).as("book"),
+          nameCol.as("nm"))
       val ments = base.select(col("doc_id"), col("pos"), col("book"),
           explode(array(
             struct(col("nm").as("text"), lit("character").as("entity_type")),
@@ -253,11 +257,14 @@ object SparkEntry {
     "q52_temporal_relations" -> ((s, dir) => {
       def nm(off: Int) = element_at(typedlit(q51Names),
         pmod(col("l_orderkey") + off, lit(20)).cast("int") + 1)
-      val passages = s.read.parquet(s"$dir/lineitem.parquet").select(
-        concat(lit("t"), col("l_orderkey")).as("doc_id"),
-        col("l_linenumber").cast("int").as("pos"),
-        concat(nm(0), lit(" came before "), nm(1), lit(". "),
-          nm(2), lit(" followed "), nm(3), lit(".")).as("text"))
+      // one parquet split at small SF: spread the regex scan across cores
+      val passages = s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          concat(lit("t"), col("l_orderkey")).as("doc_id"),
+          col("l_linenumber").cast("int").as("pos"),
+          concat(nm(0), lit(" came before "), nm(1), lit(". "),
+            nm(2), lit(" followed "), nm(3), lit(".")).as("text"))
       graft.lore.Temporal.relations(s, passages)
     }),
     // raw-text splitter round trip: re-splitting the reconstructed doc
