@@ -28,7 +28,10 @@ object CrossBook {
       .withColumn("book", bookExpr)
       .withColumn("node", Linker.cleanKey(col("text")))
       .localCheckpoint(true)
-    val nodes = m.select("node").distinct()
+    // pinned: consumed by the fuzzy join, two alias semi-joins, the X5
+    // families, and the CC node set — without the checkpoint each re-runs
+    // the distinct shuffle over the full mention table
+    val nodes = m.select("node").distinct().localCheckpoint(true)
     val typed =
       if (m.columns.contains("entity_type")) m
       else m.withColumn("entity_type", lit("unknown"))

@@ -121,7 +121,11 @@ object Canonicalize {
       textualPassages: DataFrame,
       mentions: DataFrame): DataFrame = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
-    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node")).distinct()
+    // distinct node keys: a shuffle over the full mention table — pin the
+    // (tiny) result once, or every edge family below re-runs it inside the
+    // union plan (profiled 6x recompute = most of the edge-build time)
+    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node"))
+      .distinct().localCheckpoint(true)
 
     // 1. article-strip equality
     val eArticle = articleEdges(nodes)
