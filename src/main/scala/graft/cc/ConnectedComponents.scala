@@ -85,8 +85,9 @@ object ConnectedComponents {
       val row = next
         .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
         .agg(
-          sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L))
-            .as("changed"),
+          // coalesce: sum() is NULL on an empty node set — converge, not NPE
+          coalesce(sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"),
           count(lit(1)).as("active"))
         .collect()(0)
       val changed = row.getLong(0)

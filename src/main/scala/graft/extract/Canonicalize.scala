@@ -115,17 +115,23 @@ object Canonicalize {
       .filter(shouldMerge(col("src"), col("dst")))
       .select("src", "dst")
 
-  /** Build the full alias-similarity edge set over mention keys. */
+  /** Build the full alias-similarity edge set over mention keys.
+    * `pinnedNodes`: an already-materialized distinct node table — callers
+    * that also need the node set (CC seeding) pass theirs so the
+    * full-mention-table distinct shuffle runs exactly once.
+    */
   def edges(
       spark: SparkSession,
       textualPassages: DataFrame,
-      mentions: DataFrame): DataFrame = {
+      mentions: DataFrame,
+      pinnedNodes: Option[DataFrame] = None): DataFrame = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     // distinct node keys: a shuffle over the full mention table — pin the
     // (tiny) result once, or every edge family below re-runs it inside the
     // union plan (profiled 6x recompute = most of the edge-build time)
-    val nodes = mentions.select(Linker.cleanKey(col("text")).as("node"))
-      .distinct().localCheckpoint(true)
+    val nodes = pinnedNodes.getOrElse(
+      mentions.select(Linker.cleanKey(col("text")).as("node"))
+        .distinct().localCheckpoint(true))
 
     // 1. article-strip equality
     val eArticle = articleEdges(nodes)
@@ -164,12 +170,15 @@ object Canonicalize {
       checkpoints: Option[graft.graph.Checkpoints] = None)
       : (DataFrame, Seq[ConnectedComponents.Superstep]) = {
     // materialize the mention stage once — nodes and three of the four
-    // edge families all read it
+    // edge families all read it; the distinct node set is pinned once and
+    // shared between the edge builder and the CC seed
     val m = mentions.select("doc_id", "pos", "text").localCheckpoint(true)
-    val nodes = m.select(Linker.cleanKey(col("text")).as("node")).distinct()
+    val nodes = m.select(Linker.cleanKey(col("text")).as("node"))
+      .distinct().localCheckpoint(true)
     val e = checkpoints match {
-      case Some(ck) => ck.stage("cc_edges") { edges(spark, textualPassages, m) }
-      case None => edges(spark, textualPassages, m)
+      case Some(ck) =>
+        ck.stage("cc_edges") { edges(spark, textualPassages, m, Some(nodes)) }
+      case None => edges(spark, textualPassages, m, Some(nodes))
     }
     ConnectedComponents.run(spark, nodes, e, checkpoints = checkpoints)
   }

@@ -263,7 +263,11 @@ object Materialize {
         else Nil).distinct)
     def links(term: Column, side: DataFrame, prio: Column,
         linkType: String, role: String): DataFrame = {
-      val keyed = ev.withColumn("blk", substring(lower(term), 1, 3))
+      // reference guards `if event.agent:` / `if event.patient:`
+      // (writer.py:769,786) — empty terms link nothing; the filter also
+      // keeps the trigram blocking lossless (an empty term has no grams)
+      val keyed = ev.filter(length(term) > 0)
+        .withColumn("blk", substring(lower(term), 1, 3))
       val grams = side.withColumn("blk", explode(gramsUdf(lower(col("vid")))))
       keyed.join(grams, Seq("blk"))
         .filter(lower(col("vid")).contains(lower(term)))

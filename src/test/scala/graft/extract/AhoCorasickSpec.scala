@@ -57,8 +57,9 @@ class AhoCorasickSpec extends AnyFunSuite {
   test("per-text cost stays ~flat when the alias count grows 10x") {
     // the point of the automaton: scan cost is O(|text| + hits), not
     // O(|aliases| x |text|). Non-matching aliases are free after the
-    // one-time build. Timing bound is deliberately loose (shared CI box):
-    // a linear-in-aliases scan would cost ~10x, we assert < 4x.
+    // one-time build. Timing bound is deliberately loose (shared,
+    // co-tenanted box): a linear-in-aliases scan would cost ~10x, we
+    // assert < 6x — min-of-3 of 2000-rep averages rejects load spikes.
     val rnd = new scala.util.Random(7)
     def aliases(n: Int): IndexedSeq[String] =
       (0 until n).map(i => s"zz${('a' + i % 26).toChar}${i}q") // never match
@@ -75,7 +76,7 @@ class AhoCorasickSpec extends AnyFunSuite {
     // min-of-3 per side to reject co-tenant noise
     val tSmall = (1 to 3).map(_ => perTextNanos(small)).min
     val tBig = (1 to 3).map(_ => perTextNanos(big)).min
-    assert(tBig < tSmall * 4,
+    assert(tBig < tSmall * 6,
       f"10x aliases cost ${tBig / tSmall}%.1fx per text - scan is not alias-independent")
   }
 

@@ -86,6 +86,15 @@ class CanonicalizeSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("connected components: empty node set converges to empty assignment") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val (assign, steps) = ConnectedComponents.run(spark,
+      Seq.empty[String].toDF("node"), empty)
+    assert(assign.count() == 0)
+    assert(steps.head.changed == 0) // fused metrics must not NPE on NULL sum
+  }
+
   test("cooccurrence counts pairs per passage without self-join") {
     import spark.implicits._
     val mentions = Seq(
