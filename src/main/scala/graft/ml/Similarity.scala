@@ -219,7 +219,7 @@ object Similarity {
       .select("a", "b", "emb_a", "emb_b")
       .dropDuplicates("a", "b") // a pair may collide in several bands
       .select(col("a"), col("b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+        round(graft.functions.GraftFunctions.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -368,7 +368,7 @@ object Similarity {
     val scored = assigned.join(probesDf, Seq("cell"))
       .filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        cosine(col("q_emb"), col("emb")).as("cos"))
+        graft.functions.GraftFunctions.cosine(col("q_emb"), col("emb")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -401,7 +401,7 @@ object Similarity {
         col("q_emb"), col("emb"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("emb")).as("cos"))
+        graft.functions.GraftFunctions.cosine(col("q_emb"), col("emb")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
