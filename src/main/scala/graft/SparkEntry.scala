@@ -1008,6 +1008,100 @@ object SparkEntry {
        |FROM u""".stripMargin
   }
 
+  /** The polynomial base hash as a DuckDB fold over `expr`'s characters
+    * (Dedup.polyHash twin): h = (h*mult + char) mod p.
+    */
+  private def polyHashSql(expr: String, mult: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CAST(ord(substring($expr, ci, 1)) AS BIGINT)
+       |   for ci in range(1, len($expr) + 1)]),
+       |  (acc, c) -> (acc * $mult + c) % ${graft.text.Dedup.HashPrime})"""
+      .stripMargin
+
+  /** q26 oracle: MinHash+LSH re-derived in DuckDB — same shingles as q19,
+    * the polynomial permutation family as 32 explicit list_min entries,
+    * 4-row band signatures, bucket self-join, exact floor-4dp Jaccard
+    * verify. Fully checkable because the hash family is SQL-expressible
+    * (the former MurmurHash3 family was not).
+    */
+  private def minhashOracleSql: String = {
+    import graft.text.Dedup
+    val sigEntries = Dedup.PermA.zip(Dedup.PermB).map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.HashPrime}))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |                  string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |             ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                                 for i in range(1, len(ws) - 1)]) END AS sh
+       |      FROM t),
+       |xs AS (SELECT doc_id, sh,
+       |         list_transform(sh, sg -> ${polyHashSql("sg", 31)}) AS hs
+       |       FROM s),
+       |sig AS (SELECT doc_id, $sigEntries AS sig FROM xs),
+       |banded AS (
+       |  SELECT doc_id, g.b,
+       |         array_to_string(sig[g.b * 4 + 1 : g.b * 4 + 4], ',') AS band_sig
+       |  FROM sig, generate_series(0, ${Dedup.Bands - 1}) AS g(b)
+       |),
+       |cand AS (
+       |  SELECT l.doc_id AS ia, r.doc_id AS ib
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT c.ia AS a, c.ib AS b,
+       |         floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+       |               / len(list_distinct(sa.sh || sb.sh)) * 10000 + 0.5)
+       |           / 10000.0 AS jaccard
+       |  FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.ia
+       |  JOIN s sb ON sb.doc_id = c.ib
+       |) WHERE jaccard >= 0.7""".stripMargin
+  }
+
+  /** q27 oracle: SimHash re-derived in DuckDB — per-word packed polynomial
+    * hash, 64 bit-counters per doc, pigeonhole chunk blocking, hamming
+    * filter. Matches Dedup.simhash / simhashNearDups(maxHamming = 6).
+    */
+  private def simhashOracleSql: String = {
+    import graft.text.Dedup
+    val maxHamming = 6
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
+    val chunkRows = (0 until chunks).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      s"($i, $lo, CAST($mask AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |                  string_split(text, ' ') AS ws FROM documents),
+       |wh AS (SELECT doc_id, unnest(ws) AS w FROM t),
+       |hs AS (SELECT doc_id,
+       |         (${polyHashSql("w", 31)} << 31) | ${polyHashSql("w", 131)} AS h
+       |       FROM wh),
+       |bits AS (SELECT doc_id, g.i,
+       |           sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |         FROM hs, generate_series(0, 63) AS g(i) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id,
+       |           sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << i)
+       |                    ELSE CAST(0 AS BIGINT) END) AS sig
+       |         FROM bits GROUP BY 1),
+       |chunked AS (
+       |  SELECT doc_id, sig, t.c AS chunk, (sig >> t.lo) & t.mask AS ckey
+       |  FROM sigs, (VALUES $chunkRows) AS t(c, lo, mask)
+       |)
+       |SELECT a, b, hamming FROM (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |         CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+       |  FROM chunked l JOIN chunked r
+       |    ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
+       |) WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   /** q43: culture-categorized passages bucketed by people keywords
     * (extractor.py:302-349), >= 2 passages each.
     */
@@ -1602,7 +1696,9 @@ object SparkEntry {
           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |) WHERE cos >= 0.4""".stripMargin
+          |) WHERE cos >= 0.4""".stripMargin,
+      "q26_minhash_dups" -> minhashOracleSql,
+      "q27_simhash_dups" -> simhashOracleSql
     )
   }
 }

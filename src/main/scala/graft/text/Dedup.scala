@@ -2,16 +2,35 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
   *
-  * Exact and n-gram variants are pure column expressions with DuckDB
-  * oracles; MinHash/SimHash use per-partition Scala hashing (mapPartitions
-  * shape) and are covered by unit tests instead.
+  * All four variants are fully oracle-checked: the MinHash/SimHash hash
+  * family is a SQL-expressible polynomial family (base hash = left fold
+  * `h*mult + char mod p`, permutations = `(a_i*x + b_i) mod p`) chosen so
+  * the driver's DuckDB oracle can re-derive signatures bit-for-bit —
+  * MurmurHash3 (the previous family) has no DuckDB twin, which forced
+  * rows-only checks on q26/q27.
   */
 object Dedup {
+
+  /** 2^31 - 1 (Mersenne prime): products a*x stay under 2^62, so the
+    * permutation arithmetic never overflows a signed 64-bit value in
+    * either engine (DuckDB BIGINT overflow throws rather than wraps).
+    */
+  val HashPrime = 2147483647L
+
+  /** Base polynomial string hash: left fold h = (h*mult + char) mod p. */
+  private[text] def polyHash(s: String, mult: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * mult + s.charAt(i)) % HashPrime
+      i += 1
+    }
+    h
+  }
 
   /** Exact duplicate groups by content hash (md5). */
   def exactGroups(df: DataFrame, text: Column): DataFrame =
@@ -54,12 +73,22 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8 // 4 rows per band
 
-  private def minhashSig(shingleSet: Seq[String]): Array[Int] = {
-    val sig = Array.fill(NumHashes)(Int.MaxValue)
+  /** The i-th permutation's multiplier/offset (1-based i), reduced mod p.
+    * Constants are arbitrary fixed odd mixers; the oracle embeds the same
+    * values as literals.
+    */
+  private[graft] val PermA: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (i * 2654435761L) % HashPrime)
+  private[graft] val PermB: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (i * 1099511628211L) % HashPrime)
+
+  private def minhashSig(shingleSet: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
     shingleSet.foreach { s =>
+      val x = polyHash(s, 31)
       var i = 0
       while (i < NumHashes) {
-        val h = MurmurHash3.stringHash(s, i)
+        val h = (PermA(i) * x + PermB(i)) % HashPrime
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -102,10 +131,12 @@ object Dedup {
     // exact verification join
     val shA = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    // floor-based 4dp (not round()): cross-engine-safe with the oracle
     candidates.join(shA, Seq("a")).join(shB, Seq("b"))
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        (floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))) * 10000 + 0.5) / 10000.0)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -114,12 +145,19 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes. */
+  /** Per-word 62-bit hash: two independent polynomial hashes packed as
+    * (h31 << 31) | h131 — both halves < 2^31, so the packed value is a
+    * non-negative BIGINT in both engines. Bits 62-63 are constant zero;
+    * the hamming metric is unaffected (documented effective width 62).
+    */
+  private[text] def wordHash(w: String): Long =
+    (polyHash(w, 31) << 31) | polyHash(w, 131)
+
+  /** SimHash over word hashes (62 effective bits — see [[wordHash]]). */
   def simhash(words: Seq[String]): Long = {
     val v = new Array[Int](64)
     words.foreach { w =>
-      val h = (MurmurHash3.stringHash(w, 0x9747b28c).toLong << 32) |
-        (MurmurHash3.stringHash(w, 0x85ebca6b).toLong & 0xffffffffL)
+      val h = wordHash(w)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
@@ -146,7 +184,9 @@ object Dedup {
     val sigs = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        (id, simhash(t.split(" ").toSeq))
+        // limit -1: keep trailing empty tokens — Java's default split drops
+        // them, DuckDB's string_split (the oracle) does not
+        (id, simhash(t.split(" ", -1).toSeq))
       }).toDF("doc_id", "sig")
 
     val chunks = maxHamming + 1
