@@ -709,9 +709,11 @@ object SparkEntry {
   // raw syn.text — independent derivations, not planted-template replays.
   // Match positions come from the regexp_extract_all / regexp_split_to_array
   // pair (cumulative segment lengths); the W4 greedy span-overlap dedup is a
-  // list_reduce fold over matches sorted by (start, -conf, source order)
-  // with a string-encoded accumulator ("maxend|kept-items") because DuckDB
-  // 1.0's list_reduce mis-folds struct accumulators.
+  // recursive-CTE walk over matches sorted by (start, -conf, source
+  // order) with string-encoded state ("maxend", chr(30)-joined kept
+  // items) — NOT list_reduce, which DuckDB 1.0 both mis-folds for struct
+  // accumulators and mis-evaluates in parallel pipelines under memory
+  // pressure (observed cross-group row mixing at 32 threads).
   // -------------------------------------------------------------------
 
   private def wbPat(p: String): String = s"'(?i)${sq(p)}'"
@@ -730,6 +732,34 @@ object SparkEntry {
         .mkString(" + ")
     }.mkString("[\n      ", ",\n      ", "]")
 
+  /** The per-match struct list for one pattern's matches over `text`:
+    * zips regexp_extract_all with the cumulative-length start offsets and
+    * (optionally) the ±50-char context, all INSIDE one row expression —
+    * the unnest output rows then carry only small scalars. (The earlier
+    * shape unnested an index while carrying the ms/parts LIST columns on
+    * every exploded row, which ballooned the intermediate enough to push
+    * DuckDB 1.0 into an external-aggregation path that returns wrong
+    * results under memory pressure at high thread counts.)
+    */
+  private def wbMatchStructs(withCtx: Boolean): String = {
+    val start =
+      s"""CAST(coalesce(list_sum(list_transform(parts[1:mi], x -> len(x))), 0)
+         |     + coalesce(list_sum(list_transform(ms[1:mi - 1], x -> len(x))), 0)
+         |     AS INT)""".stripMargin
+    val ctx = if (!withCtx) ""
+    else s""",
+       |      'ctx': substring(text, greatest(0, z.st - 50) + 1,
+       |               least(len(text), z.st + len(ms[z.mi]) + 50)
+       |                 - greatest(0, z.st - 50))""".stripMargin
+    // two nested transforms: inner computes each start once, outer builds
+    // the struct (DuckDB lambdas have no let-binding; lambdas may
+    // reference the row's other columns like ms/parts/text)
+    s"""list_transform(
+       |  list_transform(generate_series(1, len(ms)),
+       |                 mi -> {'mi': mi, 'st': $start}),
+       |  z -> {'i': z.mi, 't': ms[z.mi], 's': z.st$ctx})""".stripMargin
+  }
+
   /** CTEs wbtext + wbrcat: every rule-pattern match with its span and the
     * category inferred from its ±50-char context (find_rule_matches,
     * patterns.py:141-162). pord is the pattern's position in RulePatterns —
@@ -747,23 +777,14 @@ object SparkEntry {
        |  SELECT doc_id, pos, text FROM syn WHERE kind <> 'media'
        |), wbrm AS (
        |$branches
-       |), wbru AS (
-       |  SELECT doc_id, pos, text, pord, pattern_name, ms, parts,
-       |         unnest(generate_series(1, len(ms))) AS i
+       |), wbrz AS (
+       |  SELECT doc_id, pos, pord, pattern_name,
+       |         unnest(${wbMatchStructs(withCtx = true)}) AS mz
        |  FROM wbrm
-       |), wbrx AS (
-       |  SELECT doc_id, pos, text, pord, pattern_name, i, ms[i] AS mtext,
-       |    CAST(coalesce(list_sum(list_transform(parts[1:i], x -> len(x))), 0)
-       |       + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
-       |       AS INT) AS mstart
-       |  FROM wbru
        |), wbrc AS (
-       |  SELECT doc_id, pos, pord, pattern_name, i, mtext, mstart,
-       |         mstart + len(mtext) AS mend,
-       |         substring(text, greatest(0, mstart - 50) + 1,
-       |           least(len(text), mstart + len(mtext) + 50)
-       |             - greatest(0, mstart - 50)) AS ctx
-       |  FROM wbrx
+       |  SELECT doc_id, pos, pord, pattern_name, mz.i AS i, mz.t AS mtext,
+       |         mz.s AS mstart, mz.s + len(mz.t) AS mend, mz.ctx AS ctx
+       |  FROM wbrz
        |), wbrcat AS (
        |  SELECT doc_id, pos, pord, pattern_name, i, mtext, mstart, mend,
        |    CASE WHEN list_max(cs) = 0 THEN 'themes'
@@ -793,11 +814,21 @@ object SparkEntry {
         s"""  SELECT doc_id, pos, '$c' AS category, base_$c AS raw
            |  FROM wbbase WHERE base_$c > 0""".stripMargin
       }.mkString("\n  UNION ALL\n")
-    def boostFold(start: String, steps: String): String =
-      s"""list_reduce(list_prepend($start,
-         |        list_transform(generate_series(1, $steps),
-         |                       x -> CAST(0.3 AS DOUBLE))),
-         |        (a, b) -> least(a + b, CAST(1.0 AS DOUBLE)))""".stripMargin
+    // iterated min(s + 0.3, 1.0) as an explicit nest per step count —
+    // every possible start (>= 0.2 keyword base, or the 0.5 rule floor)
+    // reaches exactly 1.0 within 3 steps, so k >= 4 is the constant 1.0.
+    // (No list_reduce: DuckDB 1.0 mis-evaluates it in parallel pipelines
+    // under memory pressure — see the q31 oracle's recursive walk.)
+    def nest(start: String, k: Int): String =
+      (1 to k).foldLeft(start)((s, _) =>
+        s"least($s + CAST(0.3 AS DOUBLE), CAST(1.0 AS DOUBLE))")
+    def boostLadder(start: String, stepsExpr: String): String =
+      s"""CASE $stepsExpr
+         |        WHEN 0 THEN $start
+         |        WHEN 1 THEN ${nest(start, 1)}
+         |        WHEN 2 THEN ${nest(start, 2)}
+         |        WHEN 3 THEN ${nest(start, 3)}
+         |        ELSE CAST(1.0 AS DOUBLE) END""".stripMargin
     s""", wbbase AS (
        |  SELECT doc_id, pos,
        |$baseCols
@@ -813,9 +844,9 @@ object SparkEntry {
        |         coalesce(b.category, r.category) AS category,
        |    CASE WHEN r.rcnt IS NULL THEN least(b.raw, CAST(1.0 AS DOUBLE))
        |         WHEN b.raw IS NULL THEN
-       |      ${boostFold("CAST(0.5 AS DOUBLE)", "CAST(r.rcnt AS INT) - 1")}
+       |      ${boostLadder("CAST(0.5 AS DOUBLE)", "CAST(r.rcnt AS INT) - 1")}
        |         ELSE
-       |      ${boostFold("least(b.raw, CAST(1.0 AS DOUBLE))", "CAST(r.rcnt AS INT)")}
+       |      ${boostLadder("least(b.raw, CAST(1.0 AS DOUBLE))", "CAST(r.rcnt AS INT)")}
        |    END AS score
        |  FROM wbbasel b FULL OUTER JOIN wbboost r
        |    ON b.doc_id = r.doc_id AND b.pos = r.pos
@@ -850,34 +881,23 @@ object SparkEntry {
     }
     val ruleNamesSql = graft.worldbible.WorldBible.RuleNames.toSeq.sorted
       .map(n => s"'$n'").mkString(", ")
-    // greedy fold: elements "mend|mstart|item", accumulator "maxend|kept"
-    // (kept = chr(30)-joined items); keep iff mstart >= maxend
-    val fold =
-      s"""list_reduce(list_prepend('0|', list(
-         |      mend || '|' || mstart || '|' || item
-         |      ORDER BY mstart ASC, conf DESC, knd ASC, pord ASC, i ASC)),
-         |    (a, b) -> CASE
-         |      WHEN CAST(split_part(b, '|', 2) AS INT)
-         |             >= CAST(split_part(a, '|', 1) AS INT)
-         |      THEN split_part(b, '|', 1) || '|' ||
-         |        CASE WHEN split_part(b, '|', 3) = '' THEN split_part(a, '|', 2)
-         |             WHEN split_part(a, '|', 2) = '' THEN split_part(b, '|', 3)
-         |             ELSE split_part(a, '|', 2) || chr(30) || split_part(b, '|', 3)
-         |        END
-         |      ELSE a END)""".stripMargin
-    Oracles.overSyn(
+    // W4 greedy span dedup WITHOUT list_reduce: a recursive CTE walks each
+    // passage's sorted match list one element per step, carrying
+    // (maxend, kept). DuckDB 1.0's list_reduce returns wrong results when
+    // evaluated in parallel pipelines under memory pressure (observed
+    // cross-group row mixing at 32 threads, ~1/3 of runs); the recursive
+    // walk uses only scalar ops and joins back to the list per step, so
+    // per-iteration state is one small row per unfinished passage.
+    s"WITH RECURSIVE ${Oracles.synCte}\n" +
       s""", $wbRuleCtes, wbkm AS (
          |$kwBranches
-         |), wbku AS (
-         |  SELECT doc_id, pos, pord, ms, parts,
-         |         unnest(generate_series(1, len(ms))) AS i
+         |), wbkz AS (
+         |  SELECT doc_id, pos, pord,
+         |         unnest(${wbMatchStructs(withCtx = false)}) AS mz
          |  FROM wbkm
          |), wbkx AS (
-         |  SELECT doc_id, pos, pord, i, ms[i] AS mtext,
-         |    CAST(coalesce(list_sum(list_transform(parts[1:i], x -> len(x))), 0)
-         |       + coalesce(list_sum(list_transform(ms[1:i-1], x -> len(x))), 0)
-         |       AS INT) AS mstart
-         |  FROM wbku
+         |  SELECT doc_id, pos, pord, mz.i AS i, mz.t AS mtext, mz.s AS mstart
+         |  FROM wbkz
          |), wbtok AS (
          |  SELECT doc_id, pos, 0 AS knd, pord, i, mstart,
          |         mstart + len(mtext) AS mend,
@@ -890,17 +910,41 @@ object SparkEntry {
          |         THEN pattern_name || chr(9) || mtext || chr(9) || category
          |         ELSE '' END
          |  FROM wbrcat
+         |), wblists AS (
+         |  SELECT doc_id, pos, list(mend || '|' || mstart || '|' || item
+         |    ORDER BY mstart ASC, conf DESC, knd ASC, pord ASC, i ASC) AS l
+         |  FROM wbtok GROUP BY doc_id, pos
+         |), wbg AS (
+         |  SELECT doc_id, pos, 0 AS idx, 0 AS maxend, '' AS kept FROM wblists
+         |  UNION ALL
+         |  SELECT g.doc_id, g.pos, g.idx + 1,
+         |    CASE WHEN CAST(split_part(s.l[g.idx + 1], '|', 2) AS INT)
+         |              >= g.maxend
+         |         THEN CAST(split_part(s.l[g.idx + 1], '|', 1) AS INT)
+         |         ELSE g.maxend END,
+         |    CASE WHEN CAST(split_part(s.l[g.idx + 1], '|', 2) AS INT)
+         |              >= g.maxend
+         |              AND split_part(s.l[g.idx + 1], '|', 3) <> ''
+         |         THEN CASE WHEN g.kept = ''
+         |                   THEN split_part(s.l[g.idx + 1], '|', 3)
+         |                   ELSE g.kept || chr(30) ||
+         |                        split_part(s.l[g.idx + 1], '|', 3) END
+         |         ELSE g.kept END
+         |  FROM wbg g JOIN wblists s
+         |    ON s.doc_id = g.doc_id AND s.pos = g.pos
+         |  WHERE g.idx < len(s.l)
          |), wbkept AS (
-         |  SELECT doc_id, pos,
-         |         unnest(string_split(split_part(r, '|', 2), chr(30))) AS item
-         |  FROM (SELECT doc_id, pos, $fold AS r
-         |        FROM wbtok GROUP BY doc_id, pos)
+         |  SELECT g.doc_id, g.pos,
+         |         unnest(string_split(g.kept, chr(30))) AS item
+         |  FROM wbg g JOIN wblists s
+         |    ON s.doc_id = g.doc_id AND s.pos = g.pos
+         |  WHERE g.idx = len(s.l) AND g.kept <> ''
          |)
          |SELECT DISTINCT doc_id, pos,
          |  split_part(item, chr(9), 1) AS pattern_name,
          |  split_part(item, chr(9), 2) AS rule_text,
          |  split_part(item, chr(9), 3) AS category
-         |FROM wbkept WHERE item <> ''""".stripMargin)
+         |FROM wbkept WHERE item <> ''""".stripMargin
   }
 
   /** q51 oracle: the X5 consolidation re-derived in DuckDB — same-passage
@@ -1008,21 +1052,13 @@ object SparkEntry {
        |FROM u""".stripMargin
   }
 
-  /** The polynomial base hash as a DuckDB fold over `expr`'s characters
-    * (Dedup.polyHash twin): h = (h*mult + char) mod p.
-    */
-  private def polyHashSql(expr: String, mult: Int): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  [CAST(ord(substring($expr, ci, 1)) AS BIGINT)
-       |   for ci in range(1, len($expr) + 1)]),
-       |  (acc, c) -> (acc * $mult + c) % ${graft.text.Dedup.HashPrime})"""
-      .stripMargin
-
   /** q26 oracle: MinHash+LSH re-derived in DuckDB — same shingles as q19,
-    * the polynomial permutation family as 32 explicit list_min entries,
-    * 4-row band signatures, bucket self-join, exact floor-4dp Jaccard
-    * verify. Fully checkable because the hash family is SQL-expressible
-    * (the former MurmurHash3 family was not).
+    * md5-based base hash (Dedup.md5Hash32 twin), the permutation family as
+    * 32 explicit list_min entries, 4-row band signatures, bucket
+    * self-join, exact floor-4dp Jaccard verify. Fully checkable because
+    * every hash is a DuckDB scalar expression (the former MurmurHash3
+    * family was not, and a character-fold via list_reduce is unsafe —
+    * see the q31 oracle note).
     */
   private def minhashOracleSql: String = {
     import graft.text.Dedup
@@ -1037,7 +1073,8 @@ object SparkEntry {
        |                                 for i in range(1, len(ws) - 1)]) END AS sh
        |      FROM t),
        |xs AS (SELECT doc_id, sh,
-       |         list_transform(sh, sg -> ${polyHashSql("sg", 31)}) AS hs
+       |         list_transform(sh, sg ->
+       |           ('0x' || substring(md5(sg), 1, 8))::BIGINT) AS hs
        |       FROM s),
        |sig AS (SELECT doc_id, $sigEntries AS sig FROM xs),
        |banded AS (
@@ -1081,7 +1118,7 @@ object SparkEntry {
        |                  string_split(text, ' ') AS ws FROM documents),
        |wh AS (SELECT doc_id, unnest(ws) AS w FROM t),
        |hs AS (SELECT doc_id,
-       |         (${polyHashSql("w", 31)} << 31) | ${polyHashSql("w", 131)} AS h
+       |         ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
        |       FROM wh),
        |bits AS (SELECT doc_id, g.i,
        |           sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
@@ -1101,6 +1138,61 @@ object SparkEntry {
        |    ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id
        |) WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  /** q28 oracle: the SRP-LSH top-k re-derived in DuckDB. The deterministic
+    * hyperplanes are computed IN SQL from the same integer recurrence as
+    * `Similarity.planes` — the signed 64-bit wrapping multiply becomes a
+    * HUGEINT multiply mod 2^64, `>>> 11` becomes `// 2048`, and the result
+    * (< 2^53) converts exactly to DOUBLE. Bucket bits use the same
+    * left-fold dot product (list ordered by dimension), so signs match
+    * bit-for-bit; the rerank needs only consistent ORDERING (rank output,
+    * like q24), so list_cosine_similarity suffices.
+    */
+  private def annLshOracleSql: String =
+    """WITH planes AS (
+      |  SELECT b.band, t.bit, d.j,
+      |    CAST(((CAST((b.band * 8 + t.bit) * 1000003 + d.j * 19349663 AS HUGEINT)
+      |           * 11400714819323198485) % 18446744073709551616) // 2048
+      |         AS DOUBLE) / 9007199254740992.0 - 0.5 AS v
+      |  FROM generate_series(0, 7) AS b(band), generate_series(0, 7) AS t(bit),
+      |       generate_series(0, 63) AS d(j)
+      |),
+      |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+      |              unnest(embedding) AS x
+      |       FROM embeddings),
+      |dots AS (
+      |  SELECT ev.vec_id, p.band, p.bit,
+      |    coalesce(list_sum(list(CAST(ev.x AS DOUBLE) * p.v ORDER BY ev.j)),
+      |             0.0) AS dot
+      |  FROM ev JOIN planes p ON p.j = ev.j
+      |  GROUP BY 1, 2, 3
+      |),
+      |buckets AS (
+      |  SELECT vec_id, band,
+      |    sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << bit)
+      |             ELSE CAST(0 AS BIGINT) END) AS bucket
+      |  FROM dots GROUP BY 1, 2
+      |),
+      |qs AS (SELECT vec_id AS query_id, band, bucket
+      |       FROM buckets WHERE vec_id < 20),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+      |  FROM qs q JOIN buckets b ON b.band = q.band AND b.bucket = q.bucket
+      |  WHERE b.vec_id <> q.query_id
+      |),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+      |                           CAST(en.embedding AS DOUBLE[])) AS cos
+      |  FROM cand c
+      |  JOIN embeddings eq ON eq.vec_id = c.query_id
+      |  JOIN embeddings en ON en.vec_id = c.neighbor_id
+      |)
+      |SELECT query_id, CAST(rank_big AS INT) AS rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank_big
+      |  FROM scored) WHERE rank_big <= 5""".stripMargin
 
   /** q43: culture-categorized passages bucketed by people keywords
     * (extractor.py:302-349), >= 2 passages each.
@@ -1698,7 +1790,8 @@ object SparkEntry {
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |) WHERE cos >= 0.4""".stripMargin,
       "q26_minhash_dups" -> minhashOracleSql,
-      "q27_simhash_dups" -> simhashOracleSql
+      "q27_simhash_dups" -> simhashOracleSql,
+      "q28_ann_lsh" -> annLshOracleSql
     )
   }
 }

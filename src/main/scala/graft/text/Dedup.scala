@@ -21,15 +21,32 @@ object Dedup {
     */
   val HashPrime = 2147483647L
 
-  /** Base polynomial string hash: left fold h = (h*mult + char) mod p. */
-  private[text] def polyHash(s: String, mult: Long): Long = {
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 32 bits of md5, big-endian — the DuckDB twin is
+    * `('0x' || substring(md5(s), 1, 8))::BIGINT`. md5 (not a custom
+    * polynomial) because the oracle must re-derive hashes with DuckDB
+    * scalar functions only: DuckDB 1.0's list_reduce (the obvious fold
+    * vehicle) returns wrong results in parallel pipelines under memory
+    * pressure.
+    */
+  private[graft] def md5Hash32(s: String): Long = {
+    val d = md5Digest.get().digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 60 bits of md5 (15 hex chars) — stays under 2^63 so the DuckDB
+    * twin `('0x' || substring(md5(s), 1, 15))::BIGINT` never overflows.
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = md5Digest.get().digest(s.getBytes("UTF-8"))
     var h = 0L
     var i = 0
-    while (i < s.length) {
-      h = (h * mult + s.charAt(i)) % HashPrime
-      i += 1
-    }
-    h
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) >> 4) & 0xfL)
   }
 
   /** Exact duplicate groups by content hash (md5). */
@@ -85,7 +102,7 @@ object Dedup {
   private def minhashSig(shingleSet: Seq[String]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     shingleSet.foreach { s =>
-      val x = polyHash(s, 31)
+      val x = md5Hash32(s)
       var i = 0
       while (i < NumHashes) {
         val h = (PermA(i) * x + PermB(i)) % HashPrime
@@ -145,15 +162,12 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** Per-word 62-bit hash: two independent polynomial hashes packed as
-    * (h31 << 31) | h131 — both halves < 2^31, so the packed value is a
-    * non-negative BIGINT in both engines. Bits 62-63 are constant zero;
-    * the hamming metric is unaffected (documented effective width 62).
+  /** Per-word 60-bit hash ([[md5Hash60]]); bits 60-63 are constant zero —
+    * the hamming metric is unaffected (documented effective width 60).
     */
-  private[text] def wordHash(w: String): Long =
-    (polyHash(w, 31) << 31) | polyHash(w, 131)
+  private[text] def wordHash(w: String): Long = md5Hash60(w)
 
-  /** SimHash over word hashes (62 effective bits — see [[wordHash]]). */
+  /** SimHash over word hashes (60 effective bits — see [[wordHash]]). */
   def simhash(words: Seq[String]): Long = {
     val v = new Array[Int](64)
     words.foreach { w =>
