@@ -19,6 +19,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
       "built-in")
 }

@@ -9,20 +9,23 @@ import org.apache.spark.sql.expressions.Window
   *
   *  - brute-force cosine top-k (the exact baseline — a broadcast of the
   *    query set against the full table, no shuffle of the big side)
-  *  - sign-random-projection LSH bucketing (the scale path: candidate
-  *    generation drops the per-query cost from O(N) to O(bucket))
-  *  - cosine near-duplicate pairs
+  *  - sign-random-projection LSH and IVF cell-probe indexes (the scale
+  *    paths: candidate generation drops per-query cost from O(N) to
+  *    O(bucket) / O(N * nprobe / nlist))
+  *  - cosine near-duplicate pairs (exact block grid + LSH variant)
   *
-  * All dot products run in double precision via `aggregate(zip_with(...))`
-  * higher-order functions (codegen'd; no UDF).
+  * All column-level dot products run through the native codegen'd
+  * [[graft.functions.GraftFunctions.cosine]] expression; mapPartitions
+  * kernels use [[cosineKernel]] over primitive arrays. Identical
+  * arithmetic everywhere (left-to-right double fold).
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float-array columns.
-    * Implemented as a tight-loop UDF: Spark's higher-order array functions
-    * do not participate in codegen and evaluate ~30x slower on the
-    * all-pairs joins here. The accumulation order (left-to-right double
-    * fold) matches the DuckDB oracle's list_cosine_similarity exactly.
+  /** Double-precision cosine similarity of two float-array columns as a
+    * Scala UDF — kept as the arithmetic parity REFERENCE for
+    * [[graft.functions.GraftFunctions.cosine]] (asserted bit-identical by
+    * CosineSimilaritySpec); production paths use the native expression,
+    * which stays inside whole-stage codegen.
     */
   val cosine: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => {
@@ -248,7 +251,10 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val fam = Array.tabulate(bands)(b => planes(dim, bits, b * bits))
-        it.flatMap { case (vid, emb) =>
+        // empty embeddings carry no signal: every dot is 0.0, which would
+        // all-ones-bucket them (and later NaN the rerank); drop them, as
+        // the oracle's per-dimension unnest does naturally
+        it.filter(_._2.nonEmpty).flatMap { case (vid, emb) =>
           (0 until bands).iterator.map { b =>
             val ps = fam(b)
             var bucket = 0L

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 2^31 - 1 (Mersenne prime): products a*x stay under 2^62, so the
-    * permutation arithmetic never overflows a signed 64-bit value in
-    * either engine (DuckDB BIGINT overflow throws rather than wraps).
+  /** 2^31 - 1 (Mersenne prime). Permutation arithmetic bound: a < p and
+    * the md5 base hash x < 2^32, so a*x + b peaks just UNDER 2^63 (about
+    * 8.6e9 of headroom, not a full factor of two) — it fits a signed
+    * 64-bit value in both engines (DuckDB BIGINT overflow throws rather
+    * than wraps), but do NOT add further terms before the mod.
     */
   val HashPrime = 2147483647L
 

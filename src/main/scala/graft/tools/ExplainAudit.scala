@@ -9,7 +9,17 @@ import graft.SparkEntry
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ExplainAudit <sfDir> <query> [query...]\n" +
+          s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    args.drop(1).filterNot(SparkEntry.queries.contains).foreach { q =>
+      System.err.println(s"unknown query: $q")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
