@@ -267,6 +267,16 @@ object SparkEntry {
             nm(2), lit(" followed "), nm(3), lit(".")).as("text"))
       graft.lore.Temporal.relations(s, passages)
     }),
+    // streaming batch twins over the driver's events stream table: the
+    // same transform functions run under readStream (EventStreamSpec
+    // asserts stream == batch); here they run in batch mode against the
+    // DuckDB oracle
+    "q54_event_windows" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(
+        s.read.parquet(s"$dir/events.parquet"))),
+    "q55_event_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+        s.read.parquet(s"$dir/events.parquet"))),
     // raw-text splitter round trip: re-splitting the reconstructed doc
     // (paragraph-joined spans) must reproduce the span texts exactly
     "q29_split_roundtrip" -> ((s, dir) => {
@@ -1791,7 +1801,33 @@ object SparkEntry {
           |) WHERE cos >= 0.4""".stripMargin,
       "q26_minhash_dups" -> minhashOracleSql,
       "q27_simhash_dups" -> simhashOracleSql,
-      "q28_ann_lsh" -> annLshOracleSql
+      "q28_ann_lsh" -> annLshOracleSql,
+      "q54_event_windows" ->
+        """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+          |       time_bucket(INTERVAL '10 minutes', ts)
+          |         + INTERVAL '10 minutes' AS window_end,
+          |       event_type, count(*) AS n_events,
+          |       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+          |         AS total_value
+          |FROM events GROUP BY 1, 2, 3""".stripMargin,
+      "q55_event_sessions" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id,
+          |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
+          |), x AS (
+          |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+          |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+          |                      > 1800000000 THEN 1 ELSE 0 END AS ns
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), y AS (
+          |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                          ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM x
+          |)
+          |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          |       count(*) AS n_events, sum(cents) / 100.0 AS total_value
+          |FROM y GROUP BY user_id, sid""".stripMargin
     )
   }
 }

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One emitted user session (sessionization output). */
+final case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+private[streaming] final case class SessionState(
+    start: Long, last: Long, n: Long, totalCents: Long)
+
+/** Structured-Streaming surface over the driver's `events` stream table
+  * (event_id, ts, user_id, event_type, value, props) — the engine's
+  * incremental-ingest path. Design per the task brief: readStream ->
+  * transforms -> writeStream, watermark + windowed aggregation, and
+  * flatMapGroupsWithState for custom session state.
+  *
+  * The TRANSFORMS are plain DataFrame functions shared verbatim between
+  * the batch and streaming plans (Catalyst compiles the same logical
+  * plan either way), so the batch twins double as the correctness oracle:
+  * q54/q55 run them on the batch table against DuckDB, and
+  * EventStreamSpec asserts stream == batch on a file stream.
+  */
+object EventStream {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over an events parquet directory. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schema).parquet(dir)
+
+  /** Tumbling 10-minute windows per event type: counts + value sum.
+    * Works on both batch and streaming inputs; streaming callers add
+    * `.withWatermark("ts", ...)` upstream for append-mode emission.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // exact integer cents: float-sum order varies with partitioning
+        // (and with DuckDB's parallel aggregation), so a double sum is not
+        // cross-engine-stable; the value column is 2-decimal data
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Batch sessionization twin (gaps-and-islands): a new session starts
+    * when a user's inter-event gap exceeds `gapMinutes`. Scales as one
+    * shuffle on user_id; the running session index is a per-user
+    * cumulative sum (bounded partitions — users, not the whole table).
+    * Value sums accumulate as exact integer cents (see windowedCounts).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // exact microsecond gaps (unix_timestamp truncates to seconds, and
+    // DuckDB's epoch() keeps fractions — only integer micros agree)
+    // cast: the driver's parquet carries TIMESTAMP_NTZ; with the session
+    // in UTC the cast is a pure type change
+    val tsUs = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c.cast("timestamp"))
+    val newSession = when(
+      tsUs(col("ts")) -
+        tsUs(lag(col("ts"), 1).over(byUser)) > gapMinutes * 60000000L ||
+        lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L)
+    events
+      .withColumn("ns", newSession)
+      .withColumn("session_idx",
+        sum(col("ns")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_value"))
+      .drop("session_idx")
+  }
+
+  /** Streaming sessionization: per-user custom state via
+    * flatMapGroupsWithState (event-time timeout = the session gap past the
+    * watermark). A session is EMITTED when a newer event opens the next
+    * session, or when the state times out — identical session boundaries
+    * to [[sessionizeBatch]] for in-order-per-user data.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "1 minute"): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def microsOf(ts: Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(user, tsOf(s.start), tsOf(s.last), s.n,
+              s.totalCents / 100.0))
+          } else {
+            // per-batch events may arrive unordered: sort this batch
+            val sorted = it.toSeq.sortBy(e => microsOf(e._2))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            sorted.foreach { case (_, ts, v) =>
+              val t = microsOf(ts)
+              val cents = math.floor(v * 100 + 0.5).toLong
+              if (st == null) st = SessionState(t, t, 1, cents)
+              else if (t - st.last > gapUs) {
+                out += UserSession(user, tsOf(st.start), tsOf(st.last), st.n,
+                  st.totalCents / 100.0)
+                st = SessionState(t, t, 1, cents)
+              } else st = SessionState(st.start, math.max(st.last, t),
+                st.n + 1, st.totalCents + cents)
+            }
+            if (st != null) {
+              state.update(st)
+              // timeout is wall-watermark-based and millis-grained; the
+              // sub-milli remainder only delays emission, never changes
+              // session boundaries
+              state.setTimeoutTimestamp(st.last / 1000 + gapUs / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
+}

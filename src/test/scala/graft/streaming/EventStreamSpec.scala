@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  // modern base: epoch-adjacent event times sit on the initial watermark
+  // boundary and get dropped as late data
+  private val Base = 1704067200000L // 2024-01-01T00:00:00Z
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(Base + minutes * 60000L)
+
+  test("windowed aggregation: file stream equals the batch twin") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = Files.createTempDirectory("graft_stream").toString
+    // file source monitors a directory; stage the table file into one
+    Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+
+    // read batch under the SAME schema as the stream (plain parquet read
+    // infers TIMESTAMP_NTZ, which compares unequal as LocalDateTime rows)
+    val batch = EventStream.windowedCounts(
+        spark.read.schema(EventStream.Schema).parquet(dir))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty)
+
+    val q = EventStream.windowedCounts(EventStream.readStream(spark, dir))
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionize: inline emission on gap, timeout emission on watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess").toString
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+
+    // user 1: two sessions (40-min gap); user 2: one session
+    write("b1", Seq(
+      (0L, ts(0), 1L, "click", 1.25, "{}"),
+      (1L, ts(10), 1L, "view", 2.50, "{}"),
+      (2L, ts(50), 1L, "click", 4.00, "{}"),
+      (3L, ts(12), 2L, "view", 8.00, "{}")))
+
+    val q = EventStream.sessionize(spark,
+        EventStream.readStream(spark, s"$dir/*"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val phase1 = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+      // user 1's first session closes INLINE (its successor event opens
+      // session 2); user 2's session closes via event-time TIMEOUT once
+      // the watermark (max ts - delay = +49 min) passes +12 +30 min.
+      // user 1's second session (timeout +80 min) stays pending.
+      assert(phase1 == Set(
+        (1L, ts(0), ts(10), 2L, 3.75),
+        (2L, ts(12), ts(12), 1L, 8.0)))
+
+      // a much later event advances the watermark past the pending
+      // timeout -> user 1's second session emits
+      write("b2", Seq((4L, ts(200), 99L, "click", 0.10, "{}")))
+      q.processAllAvailable()
+      val phase2 = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(phase2 == phase1 + ((1L, ts(50), ts(50), 1L, 4.0)))
+    } finally q.stop()
+
+    // the batch twin draws the same session boundaries (plus user 99's
+    // session, which the stream still holds open)
+    val batch = EventStream.sessionizeBatch(
+      spark.read.schema(EventStream.Schema).parquet(s"$dir/*"), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(batch == Set(
+      (1L, ts(0), ts(10), 2L, 3.75),
+      (1L, ts(50), ts(50), 1L, 4.0),
+      (2L, ts(12), ts(12), 1L, 8.0),
+      (99L, ts(200), ts(200), 1L, 0.1)))
+  }
+}
