@@ -110,6 +110,47 @@ object Oracles {
   /** Wrap a SELECT over `syn` into a full oracle statement. */
   def overSyn(select: String): String = s"WITH $synCte\n$select"
 
+  /** [[synCte]] without the per-doc cumulative-length `"offset"` window —
+    * `syn` is plain `syn0`. The window sort is the single biggest memory
+    * consumer in the shared corpus derivation, and the cluster-family
+    * oracles (entity_rows + l2) never read `offset`; the r3 q38 oracle
+    * died in a DuckDB allocation failure under harness memory pressure,
+    * so its oracle (and only its SELECT shape) runs over this lean base.
+    */
+  val synCteLean: String = {
+    val trimmed = synCte.stripSuffix(
+      """,
+        |syn AS (
+        |  SELECT *, CAST(coalesce(sum(length(text) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "offset"
+        |  FROM syn0
+        |)""".stripMargin)
+    require(trimmed.length < synCte.length, "synCte tail drifted")
+    s"$trimmed,\nsyn AS (SELECT * FROM syn0)"
+  }
+
+  /** Wrap a SELECT over the lean (offset-free) `syn`. */
+  def overSynLean(select: String): String = s"WITH $synCteLean\n$select"
+
+  /** Shared derivation CTEs pinned `AS MATERIALIZED` in every emitted
+    * oracle. DuckDB 1.0 re-INLINES a CTE at each reference site, so e.g.
+    * `entity_rows`' ~30 UNION branches each recompute the full `syn`
+    * window derivation — measured on the q09 oracle at sf0.01:
+    * 442 s and >30 GB of spill inlined vs 0.22 s inside a 4 GB
+    * memory_limit materialized (the r3 q38 driver OOM was this, not the
+    * query shape). Names are a whitelist so WINDOW clauses (`w AS (`)
+    * and the recursive q31 walk are never touched.
+    */
+  private val HeavySharedCtes = Seq(
+    "syn_base", "syn0", "syn", "entity_rows", "triple_rows", "event_rows",
+    "rule_rows", "timeline_rows", "vertex_rows", "dlg", "nodes", "e0",
+    "sym", "l1", "l2")
+
+  def materializeShared(sql: String): String =
+    HeavySharedCtes.foldLeft(sql)((s, n) =>
+      s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+
   /** Language-ID oracle: mirrors TextAnalysis.langId (same markers, same
     * earliest-wins argmax, same CJK short-circuit).
     */

@@ -1483,6 +1483,14 @@ object SparkEntry {
         s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte85}\n$sel")
     val withEvents = (sel: String) =>
       Oracles.overSyn(s", ${Oracles.eventRowsCte}\n$sel")
+    // q38's r3 oracle died in a DuckDB allocation failure under harness
+    // memory pressure (CORRECTNESS_r03 q38 err) — its oracle runs over the
+    // lean offset-free corpus base (the cluster family never reads
+    // "offset"), shaving the per-doc cumulative-length window sort off the
+    // plan's peak memory.
+    val withClustersLean = (sel: String) =>
+      Oracles.overSynLean(
+        s", ${Oracles.entityRowsCte},\n${Oracles.clusterCte}\n$sel")
     Map(
       "q01_passages" -> Oracles.overSyn(
         "SELECT doc_id, pos, kind, text, media_ref, \"offset\" FROM syn"),
@@ -1682,15 +1690,23 @@ object SparkEntry {
           |                      THEN er.entity_type END) - 1, 0) AS type_conflicts
           |FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
           |GROUP BY 1""".stripMargin),
-      "q38_top_entities" -> withClusters(
-        """SELECT CAST(rank_big AS INT) AS rank, cluster, mention_count FROM (
-          |  SELECT cluster, mention_count,
-          |         row_number() OVER (ORDER BY mention_count DESC, cluster ASC) AS rank_big
-          |  FROM (
-          |    SELECT l2.cluster, count(*) AS mention_count
-          |    FROM entity_rows er JOIN l2 ON l2.node = lower(er.text)
-          |    GROUP BY 1)
-          |) WHERE rank_big <= 10""".stripMargin),
+      // peak-memory-lean shape (VERDICT r03 #1): per-node counts aggregate
+      // BEFORE the cluster join (the join intermediate is nodes-sized, not
+      // mentions-sized), and ORDER BY/LIMIT 10 runs before the ranking
+      // window so the window sees 10 rows, not every cluster
+      "q38_top_entities" -> withClustersLean(
+        """SELECT CAST(row_number() OVER (ORDER BY mention_count DESC, cluster ASC) AS INT)
+          |         AS rank,
+          |       cluster, mention_count
+          |FROM (
+          |  SELECT l2.cluster, CAST(sum(n.cnt) AS BIGINT) AS mention_count
+          |  FROM (SELECT lower(text) AS node, count(*) AS cnt
+          |        FROM entity_rows GROUP BY 1) n
+          |  JOIN l2 ON l2.node = n.node
+          |  GROUP BY 1
+          |  ORDER BY 2 DESC, 1 ASC
+          |  LIMIT 10
+          |)""".stripMargin),
       "q39_sample_quotes" -> withDialogue(
         """SELECT speaker, qtype, quote FROM (
           |  SELECT speaker, qtype, quote,
@@ -1828,6 +1844,6 @@ object SparkEntry {
           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
           |       count(*) AS n_events, sum(cents) / 100.0 AS total_value
           |FROM y GROUP BY user_id, sid""".stripMargin
-    )
+    ).map { case (k, v) => k -> Oracles.materializeShared(v) }
   }
 }

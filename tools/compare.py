@@ -41,6 +41,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Cap memory and give DuckDB a spill directory so a heavy oracle spills
+    # instead of dying with an allocation failure under co-tenant pressure
+    # (the r3 q38 OOM). Both env-overridable for stress runs.
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '8GB')}'")
+    tmp = os.environ.get("ORACLE_TMP", "/tmp/graft_duckdb_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    if os.environ.get("ORACLE_THREADS"):
+        con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
