@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main. Prints ONE JSON line:
   * {"metric":"triples_per_sec","value":N,"unit":"triples/sec",
-  *  "queries":{...per-query sec...},"sf":dir,
+  *  "queries":{...per-query sec...},"stage_build_sec":{...},"sf":dir,
   *  "pipeline_sec":..., "triples":...,
-  *  "scaling":{"cpus_low":8,"t_low":...,"cpus_high":32,"t_high":...,
-  *             "efficiency":...}}
+  *  "scaling":[{"cpus_low":4,...,"efficiency":...,"role":"headline"},
+  *             {"cpus_low":2,...,"role":"locality_supplement"}],
+  *  "scaling_efficiency":...,"loadavg":[start,end]}
   *
   * Headline (`value`/`pipeline_sec`): scan the STORED passage corpus from
   * parquet -> fused mention+SVO+link extraction -> count, min of 3 full
@@ -18,7 +19,25 @@ import org.apache.spark.sql.SparkSession
   * executor requirement (BASELINE.md §B): the same stored-corpus job on a
   * rep-x replicated corpus at local[N] vs local[4N], efficiency =
   * (t_low / t_high) / (cpus_high / cpus_low), min-of-3 on BOTH legs.
-  * Disable with SPARK_GRAFT_SCALING=0.
+  * TWO pairs are measured and emitted (VERDICT r03 #1 / ADVICE r03):
+  *   - 4 vs 16 cores — the HEADLINE pair (`scaling_efficiency`): the high
+  *     leg is close enough to the box's core count to feel scheduler and
+  *     memory-bandwidth contention, which is what the north rule's
+  *     N-vs-4N cluster criterion proxies. Reported even when < the 2v8
+  *     figure.
+  *   - 2 vs 8 cores — supplementary: both legs schedule freely and share
+  *     L2/L3 on a 32-core box, so this pair often lands > 1.0 — a CACHE
+  *     LOCALITY observation, not an efficiency; it is labeled as such and
+  *     never used as the headline.
+  * Samples INTERLEAVE all four legs per round so co-tenant load hits every
+  * leg with the same profile; /proc/loadavg at start/end is emitted for
+  * context. Disable with SPARK_GRAFT_SCALING=0.
+  *
+  * `stage_build_sec` itemizes the first materialization of the shared
+  * session stage cache (docs/spanRows/textual/mentions/linked/clusters) so
+  * per-query timings measure the QUERY, not whichever query happened to
+  * run first (VERDICT r03 #2: q04's 11 s was mostly first-touch cache
+  * build charged to q04).
   */
 object Bench {
 
@@ -41,23 +60,34 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private final case class Pair(low: Int, high: Int, role: String) {
+    val lowSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val highSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var triples = 0L
+    def efficiency: Double =
+      (lowSamples.min / highSamples.min) / (high.toDouble / low)
+    def json(rep: Int): String =
+      f"""{"rep":$rep,"triples":$triples,"cpus_low":$low,"t_low":${lowSamples.min}%.3f,"cpus_high":$high,"t_high":${highSamples.min}%.3f,"efficiency":$efficiency%.3f,"role":"$role"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val warmDir = "/root/testdata/sf0.001"
 
-    // Scaling legs: N vs 4N executor threads (the north rule's cluster
-    // proxy). Legs are sized WELL below the machine's core count (2 vs 8
-    // on a 32-core box): on a co-tenanted machine a high leg near the
-    // core count competes with background load and understates scaling
-    // (measured 4v16 efficiency swings 0.75-0.85 with load average,
-    // 2v8 stays >= 0.95), while both legs far below the core count can
-    // almost always schedule their threads. The corpus is rep-x
-    // replicated so both legs are compute-bound rather than
-    // fixed-overhead-bound.
-    val scaleLow = math.max(2, cpus / 16)
-    val scaleHigh = scaleLow * 4
+    // Two leg pairs, both WELL below or near the core count (see object
+    // doc). 4v16 is the credible contention-regime pair and the headline;
+    // 2v8 is kept as the locality supplement.
+    val pairs = Seq(
+      Pair(math.max(4, cpus / 8), math.max(4, cpus / 8) * 4, "headline"),
+      Pair(math.max(2, cpus / 16), math.max(2, cpus / 16) * 4,
+        "locality_supplement"))
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
       if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
 
@@ -103,26 +133,28 @@ object Bench {
       out
     }
 
-    // Scaling legs, INTERLEAVED low/high sampling: the sandbox box is
-    // co-tenanted, and sustained background load (not just spikes) skews
-    // a leg measured in one contiguous block — the 4N leg suffers more
-    // from contention, biasing efficiency down; a quiet block biases it
-    // up. Alternating low/high samples puts both legs under the same load
-    // profile; min-of-3 per leg (SAME count both legs, ADVICE r02) then
-    // rejects the remaining spikes. The fused path is JIT-warmed once —
-    // the forked JVM persists across sessions.
-    val (nLow, tLow, tHighRep) =
-      if (!doScaling) (0L, 0.0, 0.0)
-      else {
-        val warm = session(scaleHigh)
-        if (new java.io.File(warmDir).isDirectory)
-          Pipeline.triplesReplicated(warm, warmDir, math.min(rep, 16)).count()
-        warm.stop()
-        val samples = (1 to 3).map(_ => (sample(scaleLow), sample(scaleHigh)))
-        (samples.head._1._1,
-          samples.map(_._1._2).min,
-          samples.map(_._2._2).min)
+    // Scaling legs, INTERLEAVED across BOTH pairs: each round samples
+    // low4, high16, low2, high8 back-to-back, then repeats — sustained
+    // co-tenant load (the sandbox norm) hits every leg with the same
+    // profile, and min-of-3 per leg rejects the remaining spikes. The
+    // fused path is JIT-warmed once — the forked JVM persists across
+    // sessions.
+    val loadStart = loadavg()
+    if (doScaling) {
+      val warm = session(pairs.head.high)
+      if (new java.io.File(warmDir).isDirectory)
+        Pipeline.triplesReplicated(warm, warmDir, math.min(rep, 16)).count()
+      warm.stop()
+      (1 to 3).foreach { _ =>
+        pairs.foreach { p =>
+          val (n, tl) = sample(p.low)
+          p.triples = n
+          p.lowSamples += tl
+          p.highSamples += sample(p.high)._2
+        }
       }
+    }
+    val loadEnd = loadavg()
 
     // --- headline throughput + query timings at the configured core count.
     // Headline = min-of-3 of scan(stored corpus) -> fused extract -> count;
@@ -134,7 +166,24 @@ object Bench {
     val (triples, tHigh) = (headline.head._1, headline.map(_._2).min)
     val tps = triples / tHigh
 
+    // First-touch build cost of each shared session stage, itemized in
+    // dependency order so each entry is that stage's INCREMENTAL cost
+    // (textual includes docs' synthesis upstream, so docs runs first).
+    // Per-query numbers below then time the query itself.
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val stageBuilds: Seq[(String, Double)] =
+      if (!runQueries) Seq.empty
+      else Seq[(String, (SparkSession, String) => Any)](
+        "docs" -> ((s, d) => Pipeline.docs(s, d)),
+        "spanRows" -> ((s, d) => Pipeline.spanRows(s, d)),
+        "textual" -> ((s, d) => Pipeline.textual(s, d)),
+        "mentions" -> ((s, d) => Pipeline.mentions(s, d)),
+        "linked" -> ((s, d) => Pipeline.linked(s, d)),
+        "clusters" -> ((s, d) => Pipeline.clusterAssignment(s, d))
+      ).map { case (name, f) => name -> timed(f(spark, sfDir))._2 }
+    val stageJson = stageBuilds
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
                    else Seq.empty).map { case (name, fn) =>
       val (_, t) = timed {
@@ -147,13 +196,13 @@ object Bench {
       .mkString("{", ",", "}")
 
     val scaling =
-      if (doScaling && tHighRep > 0) {
-        val eff = (tLow / tHighRep) / (scaleHigh.toDouble / scaleLow)
-        f""","scaling":{"rep":$rep,"triples":$nLow,"cpus_low":$scaleLow,"t_low":$tLow%.3f,"cpus_high":$scaleHigh,"t_high":$tHighRep%.3f,"efficiency":$eff%.3f}"""
+      if (doScaling) {
+        val arr = pairs.map(_.json(rep)).mkString("[", ",", "]")
+        f""","scaling":$arr,"scaling_efficiency":${pairs.head.efficiency}%.3f"""
       } else ""
 
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","pipeline_sec":$tHigh%.3f,"triples":$triples$scaling}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.1f,"unit":"triples/sec","queries":$qs,"stage_build_sec":$stageJson,"sf":"$sfDir","pipeline_sec":$tHigh%.3f,"triples":$triples$scaling,"loadavg":[$loadStart%.2f,$loadEnd%.2f]}""")
     spark.stop()
   }
 }
