@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * with iterative DataFrame joins checkpointed per superstep").
   *
   * Each superstep: every node takes the min label among itself and its
-  * neighbors. The frontier DataFrame is checkpointed each superstep
+  * neighbors, then labels shortcut through themselves (path halving —
+  * l(v) := l(l(v))). The frontier DataFrame is checkpointed each superstep
   * (localCheckpoint — lineage truncation so plan depth stays O(1) instead
   * of O(supersteps)), and a (superstep, changed, active) metrics row is
   * recorded through the supplied sink for the lineage/metrics table.
-  * Converges in O(diameter) supersteps; alias graphs are near-star-shaped
-  * so this is 2-3 in practice. maxIter caps runaway graphs.
+  * Converges in O(log diameter) supersteps (CanonicalizeSpec pins a
+  * 1025-node chain at 11 = log2 n plus the no-change detection step);
+  * alias graphs are near-star-shaped so this is 2-3 in practice. maxIter
+  * caps runaway graphs.
   *
   * Reference semantics replaced: the order-dependent incremental cluster
   * merging of dynamic_resolver.py:93-309 (SURVEY.md §2.5 D7, §7.4 risk 1) —
@@ -69,15 +72,32 @@ object ConnectedComponents {
     while (!converged && step < maxIter) {
       step += 1
       val prev = labels
-      // neighbor labels: for node a, labels of its neighbors b
+      // neighbor-min then POINTER JUMPING: after every node takes the min
+      // label among itself and its neighbors, each label is shortcut
+      // through its own current label (l(v) := l(l(v)) — path halving).
+      // Labels double their reach per superstep, so a diameter-d chain
+      // converges in O(log d) supersteps instead of O(d); on the
+      // near-star alias graphs of this workload the extra join is one
+      // label-table-sized hash join per superstep and the superstep count
+      // is unchanged (2-3). Invariant used by the inner join: every
+      // cluster label IS a node name (init cluster = node; mins preserve
+      // membership), so the label table always resolves itself —
+      // coalesce guards it regardless.
       val next = pin(s"cc_labels_$step") {
         val neighborLabels = sym
           .join(prev.withColumnRenamed("node", "b"), Seq("b"))
           .select(col("a").as("node"), col("cluster"))
-        prev.select("node", "cluster")
+        val minned = prev.select("node", "cluster")
           .union(neighborLabels)
           .groupBy("node")
           .agg(min(col("cluster")).as("cluster"))
+        minned
+          .join(
+            minned.select(col("node").as("cluster"),
+              col("cluster").as("cluster2")),
+            Seq("cluster"), "left")
+          .select(col("node"),
+            coalesce(col("cluster2"), col("cluster")).as("cluster"))
       }
       // one action for both superstep metrics (changed + active): the
       // node sets of consecutive label tables are identical, so the inner

@@ -330,8 +330,11 @@ object Materialize {
         graft.voice.Dialogue.voiceProfiles(spark, dialogue))
     }
     ck.stage("mentioned_in") { mentionedInEdges(linked) }
-    ck.stage("dialogue_vertices") { dialogueGraph(spark, dialogue)._1 }
-    ck.stage("dialogue_edges") { dialogueGraph(spark, dialogue)._2 }
+    // one dialogueGraph build feeding both checkpoint stages (VERDICT r03
+    // #4: two consecutive ck.stage calls each rebuilt the vertex+edge pair)
+    lazy val dlgGraph = dialogueGraph(spark, dialogue)
+    ck.stage("dialogue_vertices") { dlgGraph._1 }
+    ck.stage("dialogue_edges") { dlgGraph._2 }
     val events = ck.stage("events") {
       graft.lore.Events.fromPassages(spark, passages).toDF()
     }

@@ -86,6 +86,22 @@ class CanonicalizeSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("connected components: adversarial chain converges in O(log n) supersteps") {
+    import spark.implicits._
+    // 1025-node path graph — worst case for plain min-label propagation
+    // (O(n) supersteps, would blow the maxIter=20 cap); path halving
+    // bounds it at O(log n). Node names zero-padded so lexicographic min
+    // equals numeric min.
+    val names = (0 to 1024).map(i => f"n$i%05d")
+    val nodes = names.toDF("node")
+    val edges = names.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    val (assign, steps) = ConnectedComponents.run(spark, nodes, edges)
+    // log2(1024) halving steps + one final no-change detection step
+    assert(steps.size <= 12, s"took ${steps.size} supersteps")
+    val clusters = assign.select("cluster").distinct().as[String].collect()
+    assert(clusters.toSeq == Seq("n00000"))
+  }
+
   test("connected components: empty node set converges to empty assignment") {
     import spark.implicits._
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
