@@ -14,8 +14,11 @@ final case class UserSession(
     n_events: Long,
     total_value: Double)
 
-private[streaming] final case class SessionState(
-    start: Long, last: Long, n: Long, totalCents: Long)
+/** One buffered event (micros, integer cents) in sessionization state. */
+private[streaming] final case class SessionEvent(ts: Long, cents: Long)
+
+/** Per-user sessionization state: the not-yet-final events, unordered. */
+private[streaming] final case class SessionBuffer(events: List[SessionEvent])
 
 /** Structured-Streaming surface over the driver's `events` stream table
   * (event_id, ts, user_id, event_type, value, props) — the engine's
@@ -93,10 +96,16 @@ object EventStream {
   }
 
   /** Streaming sessionization: per-user custom state via
-    * flatMapGroupsWithState (event-time timeout = the session gap past the
-    * watermark). A session is EMITTED when a newer event opens the next
-    * session, or when the state times out — identical session boundaries
-    * to [[sessionizeBatch]] for in-order-per-user data.
+    * flatMapGroupsWithState (event-time timeout). Events BUFFER in state
+    * until the watermark passes `session_end + gap` — only then is a
+    * session final, because any in-watermark straggler with a timestamp
+    * inside the gap window could still extend or bridge it. Emission
+    * therefore matches [[sessionizeBatch]] for ANY per-user arrival order
+    * of in-watermark data, not just in-order arrival (ADVICE r03: the
+    * previous inline emission produced overlapping sessions when a late
+    * event landed after its session was emitted). State holds only the
+    * not-yet-final events of each user — bounded by the watermark horizon,
+    * the same bound every stateful sessionization carries.
     */
   def sessionize(
       spark: SparkSession,
@@ -117,40 +126,53 @@ object EventStream {
       .selectExpr("user_id", "ts", "value")
       .as[(Long, Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[SessionBuffer, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(UserSession(user, tsOf(s.start), tsOf(s.last), s.n,
-              s.totalCents / 100.0))
-          } else {
-            // per-batch events may arrive unordered: sort this batch
-            val sorted = it.toSeq.sortBy(e => microsOf(e._2))
-            var st = state.getOption.orNull
-            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-            sorted.foreach { case (_, ts, v) =>
-              val t = microsOf(ts)
-              val cents = math.floor(v * 100 + 0.5).toLong
-              if (st == null) st = SessionState(t, t, 1, cents)
-              else if (t - st.last > gapUs) {
-                out += UserSession(user, tsOf(st.start), tsOf(st.last), st.n,
-                  st.totalCents / 100.0)
-                st = SessionState(t, t, 1, cents)
-              } else st = SessionState(st.start, math.max(st.last, t),
-                st.n + 1, st.totalCents + cents)
-            }
-            if (st != null) {
-              state.update(st)
-              // timeout is wall-watermark-based and millis-grained; the
-              // sub-milli remainder only delays emission, never changes
-              // session boundaries
-              state.setTimeoutTimestamp(st.last / 1000 + gapUs / 1000)
-            }
-            out.iterator
+        case (user, it, state: GroupState[SessionBuffer]) =>
+          // merge buffered + new events, time-sorted (arrival order within
+          // the buffer is irrelevant after the sort)
+          val merged = (state.getOption.map(_.events).getOrElse(Nil) ++
+            it.map(e => SessionEvent(microsOf(e._2),
+              math.floor(e._3 * 100 + 0.5).toLong)).toList)
+            .sortBy(_.ts)
+          // watermark in micros; no event with ts < wm can arrive later
+          // (Spark drops it as late data), so a session whose end + gap
+          // <= wm can never be extended or bridged — it is final.
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val sessions = splitByGap(merged, gapUs)
+          val (emit, keep) = sessions.partition(s => s.last.ts + gapUs <= wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(keep.flatten))
+            // fire again when the earliest pending session can finalize
+            // (> wm by construction of the partition; ms-grained — the
+            // sub-milli remainder only delays emission, never changes
+            // session boundaries)
+            state.setTimeoutTimestamp((keep.head.last.ts + gapUs) / 1000)
+          }
+          emit.iterator.map { s =>
+            UserSession(user, tsOf(s.head.ts), tsOf(s.last.ts), s.size,
+              s.map(_.cents).sum / 100.0)
           }
       }
+  }
+
+  /** Gaps-and-islands over time-sorted events: a new session starts where
+    * the inter-event gap exceeds `gapUs` — the same boundary rule as the
+    * batch twin's lag-window formulation.
+    */
+  private def splitByGap(
+      sorted: List[SessionEvent], gapUs: Long): List[List[SessionEvent]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[List[SessionEvent]]
+    val cur = scala.collection.mutable.ListBuffer.empty[SessionEvent]
+    var lastTs = Long.MinValue
+    sorted.foreach { e =>
+      if (cur.nonEmpty && e.ts - lastTs > gapUs) { out += cur.toList; cur.clear() }
+      cur += e
+      lastTs = e.ts
+    }
+    if (cur.nonEmpty) out += cur.toList
+    out.toList
   }
 
 }

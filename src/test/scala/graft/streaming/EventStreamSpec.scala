@@ -37,7 +37,7 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize: inline emission on gap, timeout emission on watermark") {
+  test("sessionize: sessions finalize as the watermark passes end + gap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sess").toString
     def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
@@ -60,10 +60,10 @@ class EventStreamSpec extends SparkSpec {
       val phase1 = spark.table("sess")
         .collect().map(r => (r.getLong(0), r.getTimestamp(1),
           r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
-      // user 1's first session closes INLINE (its successor event opens
-      // session 2); user 2's session closes via event-time TIMEOUT once
-      // the watermark (max ts - delay = +49 min) passes +12 +30 min.
-      // user 1's second session (timeout +80 min) stays pending.
+      // the watermark (max ts - delay = +49 min) passes end + gap for
+      // user 1's first session (+10 +30) and user 2's session (+12 +30),
+      // so both finalize; user 1's second session (+50 +30 = +80 min)
+      // stays buffered in state.
       assert(phase1 == Set(
         (1L, ts(0), ts(10), 2L, 3.75),
         (2L, ts(12), ts(12), 1L, 8.0)))
@@ -89,5 +89,51 @@ class EventStreamSpec extends SparkSpec {
       (1L, ts(50), ts(50), 1L, 4.0),
       (2L, ts(12), ts(12), 1L, 8.0),
       (99L, ts(200), ts(200), 1L, 0.1)))
+  }
+
+  test("sessionize: out-of-order in-watermark straggler still merges (ADVICE r03)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess_ooo").toString
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+
+    // batch 1 delivers +0 and +60 (a 60-min gap: two sessions so far);
+    // batch 2 delivers a STRAGGLER at +20 — inside the 2h watermark, and
+    // inside session 1's gap window, so it must extend session 1 even
+    // though a newer event already opened session 2. Inline-on-gap
+    // emission (the pre-r4 design) had already emitted session 1 and
+    // would double-count the straggler into session 2.
+    write("b1", Seq(
+      (0L, ts(0), 5L, "click", 1.00, "{}"),
+      (1L, ts(60), 5L, "view", 2.00, "{}")))
+
+    val q = EventStream.sessionize(spark,
+        EventStream.readStream(spark, s"$dir/*"), gapMinutes = 30,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write("b2", Seq((2L, ts(20), 5L, "click", 4.00, "{}")))
+      q.processAllAvailable()
+      // flush: advance the watermark (+600 - 2h = +480) past both sessions
+      write("b3", Seq((3L, ts(600), 99L, "click", 0.10, "{}")))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_ooo")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == Set(
+        (5L, ts(0), ts(20), 2L, 5.0),
+        (5L, ts(60), ts(60), 1L, 2.0)))
+
+      // batch twin agrees on every closed session
+      val batch = EventStream.sessionizeBatch(
+        spark.read.schema(EventStream.Schema).parquet(s"$dir/*"),
+        gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(batch == streamed + ((99L, ts(600), ts(600), 1L, 0.1)))
+    } finally q.stop()
   }
 }
