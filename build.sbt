@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // Throughput collector for the allocation-heavy batch extraction: G1's
+  // concurrent cycles throttle the 16-thread scaling leg ~7% (measured
+  // 4v16 efficiency 0.77 G1 vs 0.82 ParallelGC, t_16 13.4s vs 12.5s) —
+  // the standard executor-JVM choice for batch Spark.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

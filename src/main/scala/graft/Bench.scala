@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   * The scaling block is the sandbox proxy for the north rule's N vs 4N
   * executor requirement (BASELINE.md §B): the same stored-corpus job on a
   * rep-x replicated corpus at local[N] vs local[4N], efficiency =
-  * (t_low / t_high) / (cpus_high / cpus_low), min-of-3 on BOTH legs.
+  * (t_low / t_high) / (cpus_high / cpus_low), min-of-5 (headline pair) /
+  * min-of-3 (supplement) per leg; each leg also emits the min-wall
+  * sample's summed task jvmGCTime (gc_low_sec/gc_high_sec) so collector
+  * overhead is evidence, not conjecture.
   * TWO pairs are measured and emitted (VERDICT r03 #1 / ADVICE r03):
   *   - 4 vs 16 cores — the HEADLINE pair (`scaling_efficiency`): the high
   *     leg is close enough to the box's core count to feel scheduler and
@@ -26,9 +29,11 @@ import org.apache.spark.sql.SparkSession
   *     N-vs-4N cluster criterion proxies. Reported even when < the 2v8
   *     figure.
   *   - 2 vs 8 cores — supplementary: both legs schedule freely and share
-  *     L2/L3 on a 32-core box, so this pair often lands > 1.0 — a CACHE
-  *     LOCALITY observation, not an efficiency; it is labeled as such and
-  *     never used as the headline.
+  *     L2/L3 on a 32-core box, so this pair reads high (0.87-0.96
+  *     measured; the r3 ">1.0" was a stale-corpus + one-wave-split
+  *     artifact) — closer to a CACHE LOCALITY observation than a
+  *     contention-regime efficiency; it is labeled as such and never
+  *     used as the headline.
   * Samples INTERLEAVE all four legs per round so co-tenant load hits every
   * leg with the same profile; /proc/loadavg at start/end is emitted for
   * context. Disable with SPARK_GRAFT_SCALING=0.
@@ -49,6 +54,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Split sizing for a CPU-bound extraction over a SMALL stored
+      // corpus: the defaults (128m splits, 4m open cost) pack the corpus
+      // into ~totalBytes/cores bins — exactly ONE task wave per leg, so
+      // the makespan is the slowest task and the high-parallelism leg has
+      // zero rebalancing room (measured 4v16 efficiency 0.73 at one
+      // wave). A real 100 TB table has thousands of native splits;
+      // sizing splits to give every leg several waves is the faithful
+      // sandbox equivalent, not a tuning trick.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -65,14 +80,22 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  private final case class Pair(low: Int, high: Int, role: String) {
-    val lowSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val highSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private final case class Pair(low: Int, high: Int, role: String,
+      samples: Int = 3) {
+    val lowSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val highSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var triples = 0L
+    // (wall, gc) of the min-wall sample per leg
+    private def best(
+        xs: scala.collection.Seq[(Double, Double)]): (Double, Double) =
+      xs.minBy(_._1)
     def efficiency: Double =
-      (lowSamples.min / highSamples.min) / (high.toDouble / low)
-    def json(rep: Int): String =
-      f"""{"rep":$rep,"triples":$triples,"cpus_low":$low,"t_low":${lowSamples.min}%.3f,"cpus_high":$high,"t_high":${highSamples.min}%.3f,"efficiency":$efficiency%.3f,"role":"$role"}"""
+      (best(lowSamples)._1 / best(highSamples)._1) / (high.toDouble / low)
+    def json(rep: Int): String = {
+      val (tl, gl) = best(lowSamples)
+      val (th, gh) = best(highSamples)
+      f"""{"rep":$rep,"triples":$triples,"cpus_low":$low,"t_low":$tl%.3f,"gc_low_sec":$gl%.2f,"cpus_high":$high,"t_high":$th%.3f,"gc_high_sec":$gh%.2f,"efficiency":$efficiency%.3f,"role":"$role"}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,10 +107,18 @@ object Bench {
     // Two leg pairs, both WELL below or near the core count (see object
     // doc). 4v16 is the credible contention-regime pair and the headline;
     // 2v8 is kept as the locality supplement.
-    val pairs = Seq(
-      Pair(math.max(4, cpus / 8), math.max(4, cpus / 8) * 4, "headline"),
+    // headline pair takes min-of-5 (its high leg shows +-7% sample noise
+    // on the co-tenanted box, enough to swing the efficiency 0.76-0.82;
+    // five interleaved samples tighten the min), supplement min-of-3
+    val allPairs = Seq(
+      Pair(math.max(4, cpus / 8), math.max(4, cpus / 8) * 4, "headline",
+        samples = 5),
       Pair(math.max(2, cpus / 16), math.max(2, cpus / 16) * 4,
         "locality_supplement"))
+    // SPARK_GRAFT_PAIRS=headline|locality_supplement|both (iteration aid)
+    val pairSel = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "both")
+    val pairs =
+      if (pairSel == "both") allPairs else allPairs.filter(_.role == pairSel)
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
       if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
 
@@ -103,7 +134,7 @@ object Bench {
     // same path must not silently reuse a stale cached corpus (ADVICE r01)
     val liLen = new java.io.File(s"$sfDir/lineitem.parquet").length()
     def corpusPath(r: Int): String =
-      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_$liLen"
+      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p256_$liLen"
     def materialize(r: Int): Unit =
       if (!new java.io.File(s"${corpusPath(r)}/_SUCCESS").exists()) {
         val s = session(cpus)
@@ -114,7 +145,7 @@ object Bench {
           .withColumn("doc_id",
             concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
           .select("doc_id", "pos", "passage_id", "text")
-          .repartition(64)
+          .repartition(256)
           .write.mode("overwrite").parquet(corpusPath(r))
         s.stop()
       }
@@ -125,12 +156,23 @@ object Bench {
       .fromPassagesFused(s, s.read.parquet(corpusPath(r))).count()
 
     // One timed sample on a fresh session at the given core count; the
-    // session lifecycle stays OUTSIDE the timed window.
-    def sample(legCpus: Int): (Long, Double) = {
+    // session lifecycle stays OUTSIDE the timed window. Also returns the
+    // sample's summed per-task JVM GC time (TaskMetrics.jvmGCTime) — the
+    // direct evidence for how much of a leg's wall time the collector
+    // eats (the 4v16 gap diagnosis; G1 -> ParallelGC was worth ~7% on
+    // the 16-thread leg).
+    def sample(legCpus: Int): (Long, Double, Double) = {
       val s = session(legCpus)
-      val out = timed(storedRun(s, rep))
+      val gc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) gc.addAndGet(t.taskMetrics.jvmGCTime)
+      }
+      s.sparkContext.addSparkListener(listener)
+      val (n, t) = timed(storedRun(s, rep))
       s.stop()
-      out
+      (n, t, gc.get() / 1000.0)
     }
 
     // Scaling legs, INTERLEAVED across BOTH pairs: each round samples
@@ -145,12 +187,14 @@ object Bench {
       if (new java.io.File(warmDir).isDirectory)
         Pipeline.triplesReplicated(warm, warmDir, math.min(rep, 16)).count()
       warm.stop()
-      (1 to 3).foreach { _ =>
-        pairs.foreach { p =>
-          val (n, tl) = sample(p.low)
+      val rounds = pairs.map(_.samples).max
+      (1 to rounds).foreach { r =>
+        pairs.filter(_.samples >= r).foreach { p =>
+          val (n, tl, gl) = sample(p.low)
           p.triples = n
-          p.lowSamples += tl
-          p.highSamples += sample(p.high)._2
+          p.lowSamples += ((tl, gl))
+          val (_, th, gh) = sample(p.high)
+          p.highSamples += ((th, gh))
         }
       }
     }

@@ -108,6 +108,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH candidate dedup shuffles ids only (no embedding columns)") {
+    // the cross-band dropDuplicates is the one unavoidable wide exchange
+    // in the LSH paths; embeddings must re-join AFTER it (VERDICT r03 #3 —
+    // carrying two dim-d float arrays per candidate multiplied exchange
+    // bytes ~50x). Locks the optimized plan's dedup Aggregate to id-only
+    // input columns for both LSH surfaces.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val e = emb((0L until 8L).map(i =>
+      i -> (0 until 8).map(j => math.sin(i * 3.1 + j).toFloat)): _*)
+    for (df <- Seq(
+        Similarity.nearDupPairsLsh(e, 0.9, dim = 8),
+        Similarity.lshTopK(e, dim = 8, numQueries = 2, k = 2))) {
+      val dedups = df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.aggregateExpressions.size == 2 => a
+      }
+      assert(dedups.nonEmpty, "expected an id-pair dedup Aggregate")
+      dedups.foreach { a =>
+        val cols = a.child.output.map(_.name)
+        assert(!cols.exists(_.toLowerCase.contains("emb")),
+          s"embedding column rides the dedup exchange: $cols")
+      }
+    }
+  }
+
   test("exact near-dup block grid covers every pair exactly once") {
     // all-pairs at threshold -1: every unordered pair must appear once
     val e = emb((0L until 9L).map(i =>
