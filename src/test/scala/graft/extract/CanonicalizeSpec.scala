@@ -102,6 +102,35 @@ class CanonicalizeSpec extends SparkSpec {
     assert(clusters.toSeq == Seq("n00000"))
   }
 
+  test("connected components: random graphs match union-find (property)") {
+    import spark.implicits._
+    // seeded pseudo-random graphs (mixed density, self-loops filtered)
+    // cross-checked against an in-memory union-find with min-label
+    // normalization — guards the path-halving rewrite against subtle
+    // label-leak bugs on shapes the star/chain tests don't cover
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val nodes = (0 until n).map(i => f"v$i%03d")
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: String): String = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = nodes.groupBy(find).values
+        .flatMap(g => g.map(_ -> g.min)).toMap
+      val (assign, _) = ConnectedComponents.run(spark,
+        nodes.toDF("node"), edges.toDF("src", "dst"))
+      val got = assign.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, e=${edges.size})")
+    }
+  }
+
   test("connected components: empty node set converges to empty assignment") {
     import spark.implicits._
     val empty = Seq.empty[(String, String)].toDF("src", "dst")

@@ -91,6 +91,44 @@ class EventStreamSpec extends SparkSpec {
       (99L, ts(200), ts(200), 1L, 0.1)))
   }
 
+  test("sessionizeBatch matches an in-memory reference on random event sets (property)") {
+    import spark.implicits._
+    // seeded pseudo-random events: duplicate timestamps, shuffled input
+    // order, multiple users — the reference splits per-user time-sorted
+    // events on the 30-min gap and sums integer cents, mirroring the
+    // production contract
+    val rnd = new scala.util.Random(7)
+    val gapMin = 30
+    val events = new scala.util.Random(9)
+      .shuffle(Seq.tabulate(400) { i =>
+        val user = 1L + rnd.nextInt(5)
+        val minutes = rnd.nextInt(600)
+        val value = rnd.nextInt(10000) / 100.0
+        (i.toLong, ts(minutes.toLong), user, "e", value, "{}")
+      })
+    val expected = events.groupBy(_._3).flatMap { case (user, evs) =>
+      val sorted = evs.map(e => (e._2.getTime, e._5)).sortBy(_._1)
+      val sessions = scala.collection.mutable.ListBuffer
+        .empty[scala.collection.mutable.ListBuffer[(Long, Double)]]
+      sorted.foreach { e =>
+        if (sessions.nonEmpty &&
+          e._1 - sessions.last.last._1 <= gapMin * 60000L) sessions.last += e
+        else sessions += scala.collection.mutable.ListBuffer(e)
+      }
+      sessions.map { s =>
+        (user, new Timestamp(s.head._1), new Timestamp(s.last._1),
+          s.size.toLong,
+          s.map(e => math.floor(e._2 * 100 + 0.5).toLong).sum / 100.0)
+      }
+    }.toSet
+    val got = EventStream.sessionizeBatch(
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      gapMinutes = gapMin)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
   test("sessionize: out-of-order in-watermark straggler still merges (ADVICE r03)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sess_ooo").toString
