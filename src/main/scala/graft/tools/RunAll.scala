@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drive the full checkpointed materialization job (graph.Materialize
+  * .runAll) end-to-end — the long-job surface the query entry points
+  * don't exercise at scale. Prints per-stage progress via the checkpoint
+  * metrics table and total wall time. Re-running against the same
+  * warehouse resumes from completed stages (kill it mid-run to see).
+  *
+  * Usage: runMain graft.tools.RunAll <sfDir> <warehouseDir> [cpus]
+  */
+object RunAll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val wh = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val edges = graft.graph.Materialize.runAll(spark, sfDir, wh)
+    val n = edges.count()
+    println(f"[runall] edges=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs warehouse=$wh")
+    spark.stop()
+  }
+}
