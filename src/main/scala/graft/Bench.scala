@@ -133,8 +133,20 @@ object Bench {
     // content fingerprint in the cache path: regenerated testdata at the
     // same path must not silently reuse a stale cached corpus (ADVICE r01)
     val liLen = new java.io.File(s"$sfDir/lineitem.parquet").length()
+    // synthesis-version component: the r3 scaling corpus went STALE when
+    // the corpus templates changed but the input parquet did not (the
+    // fingerprint covered data, not code) — r3 measured a 16x-replica of
+    // the ROUND-2 corpus. Hash the lexicon constants the synthesis is
+    // generated from so template changes invalidate cached corpora.
+    val synVer = {
+      val src = (Lexicon.Chars ++ Lexicon.CharAliases ++ Lexicon.Places ++
+        Lexicon.BirthEras ++ Lexicon.DeathEras ++ Lexicon.Peoples ++
+        Lexicon.Verbs.map(v => s"${v._1}|${v._2}|${v._3}")).mkString(";")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    }
     def corpusPath(r: Int): String =
-      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p256_$liLen"
+      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p256_${synVer}_$liLen"
     def materialize(r: Int): Unit =
       if (!new java.io.File(s"${corpusPath(r)}/_SUCCESS").exists()) {
         val s = session(cpus)
