@@ -144,11 +144,13 @@ object EventStream {
           if (keep.isEmpty) state.remove()
           else {
             state.update(SessionBuffer(keep.flatten))
-            // fire again when the earliest pending session can finalize
-            // (> wm by construction of the partition; ms-grained — the
-            // sub-milli remainder only delays emission, never changes
-            // session boundaries)
-            state.setTimeoutTimestamp((keep.head.last.ts + gapUs) / 1000)
+            // fire again when the earliest pending session can finalize.
+            // +1 ms: the micros->ms truncation could otherwise land the
+            // timeout exactly ON the current watermark (end + gap > wm by
+            // construction, but by less than 1 ms), which Spark rejects;
+            // the extra millisecond only delays emission, never changes
+            // session boundaries
+            state.setTimeoutTimestamp((keep.head.last.ts + gapUs) / 1000 + 1)
           }
           emit.iterator.map { s =>
             UserSession(user, tsOf(s.head.ts), tsOf(s.last.ts), s.size,
