@@ -149,7 +149,10 @@ object Oracles {
 
   def materializeShared(sql: String): String =
     HeavySharedCtes.foldLeft(sql)((s, n) =>
-      s.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+      // word-boundary anchored: a bare substring replace of "e0 AS ("
+      // would also fire inside a longer CTE name like "lived0 AS ("
+      s.replaceAll(s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(n)} AS \\(",
+        java.util.regex.Matcher.quoteReplacement(s"$n AS MATERIALIZED (")))
 
   /** Language-ID oracle: mirrors TextAnalysis.langId (same markers, same
     * earliest-wins argmax, same CJK short-circuit).
