@@ -110,15 +110,22 @@ object Bench {
     // headline pair takes min-of-5 (its high leg shows +-7% sample noise
     // on the co-tenanted box, enough to swing the efficiency 0.76-0.82;
     // five interleaved samples tighten the min), supplement min-of-3
+    // headline low leg: cpus/8 floored at 4 but CAPPED so the 4x high leg
+    // never exceeds the configured core budget (on an 8-core budget the
+    // uncapped 4v16 pair would oversubscribe the high leg and emit a
+    // meaningless efficiency)
+    val hLow = math.min(math.max(4, cpus / 8), math.max(1, cpus / 4))
     val allPairs = Seq(
-      Pair(math.max(4, cpus / 8), math.max(4, cpus / 8) * 4, "headline",
-        samples = 5),
+      Pair(hLow, hLow * 4, "headline", samples = 5),
       Pair(math.max(2, cpus / 16), math.max(2, cpus / 16) * 4,
         "locality_supplement"))
     // SPARK_GRAFT_PAIRS=headline|locality_supplement|both (iteration aid)
     val pairSel = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "both")
     val pairs =
       if (pairSel == "both") allPairs else allPairs.filter(_.role == pairSel)
+    require(pairs.nonEmpty,
+      s"SPARK_GRAFT_PAIRS='$pairSel' matches no pair " +
+        s"(expected: both, ${allPairs.map(_.role).mkString(", ")})")
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
       if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
 
@@ -136,17 +143,17 @@ object Bench {
     // synthesis-version component: the r3 scaling corpus went STALE when
     // the corpus templates changed but the input parquet did not (the
     // fingerprint covered data, not code) — r3 measured a 16x-replica of
-    // the ROUND-2 corpus. Hash the lexicon constants the synthesis is
-    // generated from so template changes invalidate cached corpora.
-    val synVer = {
-      val src = (Lexicon.Chars ++ Lexicon.CharAliases ++ Lexicon.Places ++
-        Lexicon.BirthEras ++ Lexicon.DeathEras ++ Lexicon.Peoples ++
-        Lexicon.Verbs.map(v => s"${v._1}|${v._2}|${v._3}")).mkString(";")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(src.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    }
+    // the ROUND-2 corpus. Hash Oracles.synCte: it is generated from the
+    // same lexicon constants AND embeds the template sentence text and
+    // selector arithmetic, so any template change (not just lexicon-list
+    // edits) invalidates cached corpora. The partition count is part of
+    // the key too (it changes split/file layout).
+    val corpusParts = 256
+    val synVer = java.security.MessageDigest.getInstance("MD5")
+      .digest(Oracles.synCte.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     def corpusPath(r: Int): String =
-      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p256_${synVer}_$liLen"
+      s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p${corpusParts}_${synVer}_$liLen"
     def materialize(r: Int): Unit =
       if (!new java.io.File(s"${corpusPath(r)}/_SUCCESS").exists()) {
         val s = session(cpus)
@@ -157,7 +164,7 @@ object Bench {
           .withColumn("doc_id",
             concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
           .select("doc_id", "pos", "passage_id", "text")
-          .repartition(256)
+          .repartition(corpusParts)
           .write.mode("overwrite").parquet(corpusPath(r))
         s.stop()
       }
@@ -230,8 +237,11 @@ object Bench {
     val stageBuilds: Seq[(String, Double)] =
       if (!runQueries) Seq.empty
       else Seq[(String, (SparkSession, String) => Any)](
-        "docs" -> ((s, d) => Pipeline.docs(s, d)),
+        // dependency order: docs assembles FROM the cached spanRows, so
+        // spanRows runs (and is charged) first and each later entry is
+        // that stage's incremental cost
         "spanRows" -> ((s, d) => Pipeline.spanRows(s, d)),
+        "docs" -> ((s, d) => Pipeline.docs(s, d)),
         "textual" -> ((s, d) => Pipeline.textual(s, d)),
         "mentions" -> ((s, d) => Pipeline.mentions(s, d)),
         "linked" -> ((s, d) => Pipeline.linked(s, d)),

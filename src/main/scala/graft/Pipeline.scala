@@ -63,7 +63,11 @@ object Pipeline {
     * (session, dir). In production this IS a stored table; caching the
     * synthesis is the sandbox equivalent of reading it from storage. */
   def docs(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "docs") { DocsSynth.docs(spark, sfDir) }
+    cached(spark, sfDir, "docs") {
+      // assemble from the CACHED span rows — DocsSynth.docs would re-run
+      // the span synthesis even when spanRows is already materialized
+      DocsSynth.docsFromSpanRows(spanRows(spark, sfDir))
+    }
 
   def passages(spark: SparkSession, sfDir: String): DataFrame =
     Passages.fromDocs(docs(spark, sfDir))

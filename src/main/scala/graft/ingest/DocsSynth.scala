@@ -162,8 +162,16 @@ object DocsSynth {
     * pos via array_sort on a (pos, ...) struct, then projected down — fully
     * deterministic, no driver-side collection.
     */
-  def docs(spark: SparkSession, sfDir: String): DataFrame = {
-    spanRows(spark, sfDir)
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    docsFromSpanRows(spanRows(spark, sfDir))
+
+  /** [[docs]] over an already-materialized span-row table — lets callers
+    * with a cached/stored spanRows stage (Pipeline) assemble docs without
+    * re-running the synthesis (the bench's stage itemization previously
+    * double-counted it).
+    */
+  def docsFromSpanRows(spanRows: DataFrame): DataFrame = {
+    spanRows
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(
         col("pos"), col("kind"), col("text"), col("media_ref"), col("offset"))))

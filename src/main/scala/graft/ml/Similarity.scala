@@ -333,13 +333,20 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
 
-    // deterministic init: the nlist smallest vec_ids. Sparse ids clamp
-    // nlist to the vectors actually collected, and an empty table returns
-    // an empty result instead of throwing inside the assignment kernel
-    // (ADVICE r03: cs(0).length on empty centroids).
-    var centroids: Array[Array[Float]] =
-      collectVecs(embeddings, col("vec_id") < nlist).sortBy(_._1).map(_._2)
-        .filter(_.nonEmpty)
+    // deterministic init: the nlist SMALLEST vec_ids (orderBy + limit, not
+    // a `vec_id < nlist` filter — sparse/offset id spaces would otherwise
+    // collect nothing and silently return an empty result for a non-empty
+    // table). Sparse ids clamp nlist to the vectors actually present, and
+    // an empty/embedding-less table returns an empty result instead of
+    // throwing inside the assignment kernel (ADVICE r03 + round-4 review).
+    var centroids: Array[Array[Float]] = {
+      import embeddings.sparkSession.implicits._
+      embeddings
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy("vec_id").limit(nlist)
+        .as[(Long, Array[Float])].collect()
+        .sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    }
     if (centroids.isEmpty)
       return Seq.empty[(Long, Int, Long)]
         .toDF("query_id", "rank", "neighbor_id")

@@ -14,10 +14,22 @@ final case class UserSession(
     n_events: Long,
     total_value: Double)
 
-/** One buffered event (micros, integer cents) in sessionization state. */
-private[streaming] final case class SessionEvent(ts: Long, cents: Long)
+/** One buffered entry in sessionization state: either a raw event
+  * (n = 1, start = ts) or a FOLDED settled prefix of an open session
+  * (n events summed into cents, spanning [start, ts]). Folding keeps
+  * per-user state O(open sessions), not O(events): a continuously-active
+  * user (heartbeat every minute, gap 30 min) never closes their session,
+  * and buffering raw events would grow state without bound.
+  */
+private[streaming] final case class SessionEvent(
+    ts: Long, cents: Long, n: Long, start: Long)
 
-/** Per-user sessionization state: the not-yet-final events, unordered. */
+private[streaming] object SessionEvent {
+  def raw(ts: Long, cents: Long): SessionEvent =
+    SessionEvent(ts, cents, 1L, ts)
+}
+
+/** Per-user sessionization state: the not-yet-final entries, unordered. */
 private[streaming] final case class SessionBuffer(events: List[SessionEvent])
 
 /** Structured-Streaming surface over the driver's `events` stream table
@@ -103,9 +115,12 @@ object EventStream {
     * therefore matches [[sessionizeBatch]] for ANY per-user arrival order
     * of in-watermark data, not just in-order arrival (ADVICE r03: the
     * previous inline emission produced overlapping sessions when a late
-    * event landed after its session was emitted). State holds only the
-    * not-yet-final events of each user — bounded by the watermark horizon,
-    * the same bound every stateful sessionization carries.
+    * event landed after its session was emitted). Per-user state is
+    * COMPACTED, not a raw buffer: each open session's settled prefix
+    * (entries the watermark can no longer touch) folds into one aggregate
+    * entry, so state is O(open sessions + in-horizon tail) even for a
+    * continuously-active user whose session never closes (see
+    * [[advanceSessions]]).
     */
   def sessionize(
       spark: SparkSession,
@@ -129,38 +144,73 @@ object EventStream {
       .flatMapGroupsWithState[SessionBuffer, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, it, state: GroupState[SessionBuffer]) =>
-          // merge buffered + new events, time-sorted (arrival order within
-          // the buffer is irrelevant after the sort)
-          val merged = (state.getOption.map(_.events).getOrElse(Nil) ++
-            it.map(e => SessionEvent(microsOf(e._2),
-              math.floor(e._3 * 100 + 0.5).toLong)).toList)
-            .sortBy(_.ts)
-          // watermark in micros; no event with ts < wm can arrive later
-          // (Spark drops it as late data), so a session whose end + gap
-          // <= wm can never be extended or bridged — it is final.
+          val incoming = it.map(e => SessionEvent.raw(microsOf(e._2),
+            math.floor(e._3 * 100 + 0.5).toLong)).toList
+          // watermark in micros; no event with ts <= wm can arrive later
+          // (Spark filters late rows at ts <= watermark), so a session
+          // whose end + gap <= wm can never be extended or bridged — it
+          // is final.
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val sessions = splitByGap(merged, gapUs)
-          val (emit, keep) = sessions.partition(s => s.last.ts + gapUs <= wm)
+          val (emit, keep) = advanceSessions(
+            state.getOption.map(_.events).getOrElse(Nil), incoming, wm, gapUs)
           if (keep.isEmpty) state.remove()
           else {
             state.update(SessionBuffer(keep.flatten))
-            // fire again when the earliest pending session can finalize.
-            // +1 ms: the micros->ms truncation could otherwise land the
-            // timeout exactly ON the current watermark (end + gap > wm by
-            // construction, but by less than 1 ms), which Spark rejects;
-            // the extra millisecond only delays emission, never changes
-            // session boundaries
-            state.setTimeoutTimestamp((keep.head.last.ts + gapUs) / 1000 + 1)
+            // fire again when the earliest pending session can finalize
+            // (min over kept sessions of last-entry ts + gap — using any
+            // earlier ts would re-arm a timeout at or below the advanced
+            // watermark, which Spark rejects). +1 ms: the micros->ms
+            // truncation could otherwise land the timeout exactly ON the
+            // current watermark (end + gap > wm by construction, but by
+            // less than 1 ms); the extra millisecond only delays
+            // emission, never changes session boundaries
+            state.setTimeoutTimestamp(
+              (keep.map(_.last.ts).min + gapUs) / 1000 + 1)
           }
           emit.iterator.map { s =>
-            UserSession(user, tsOf(s.head.ts), tsOf(s.last.ts), s.size,
-              s.map(_.cents).sum / 100.0)
+            UserSession(user, tsOf(s.map(_.start).min), tsOf(s.last.ts),
+              s.map(_.n).sum, s.map(_.cents).sum / 100.0)
           }
       }
   }
 
-  /** Gaps-and-islands over time-sorted events: a new session starts where
-    * the inter-event gap exceeds `gapUs` — the same boundary rule as the
+  /** One sessionization step, pure and unit-testable: merge buffered +
+    * incoming entries, gap-split, emit the sessions the watermark has
+    * finalized (end + gap <= wm), and COMPACT each kept session's settled
+    * prefix (entries with ts + gap <= wm) into a single folded entry.
+    *
+    * Compaction safety: a future event has ts > wm (Spark's late filter),
+    * so it is > gap away from every settled entry — it can only attach to
+    * the unsettled tail; and arriving events can only bridge or extend
+    * sessions, never split one (inserting an event between two in-gap
+    * neighbors keeps both distances within the gap). So folding the
+    * settled prefix changes no future boundary decision, and the fold
+    * aggregates (min start, sum n, sum cents, last ts) are exactly what
+    * emission needs. State stays O(open sessions + unsettled tail), not
+    * O(events).
+    *
+    * @return (sessions to emit, kept sessions) — both lists of
+    *         time-sorted sessions; kept sessions are compacted
+    */
+  private[streaming] def advanceSessions(
+      buffered: List[SessionEvent],
+      incoming: List[SessionEvent],
+      wmUs: Long,
+      gapUs: Long): (List[List[SessionEvent]], List[List[SessionEvent]]) = {
+    val merged = (buffered ++ incoming).sortBy(_.ts)
+    val sessions = splitByGap(merged, gapUs)
+    val (emit, keep) = sessions.partition(s => s.last.ts + gapUs <= wmUs)
+    val compacted = keep.map { s =>
+      val (settled, tail) = s.span(e => e.ts + gapUs <= wmUs)
+      if (settled.size <= 1) s
+      else SessionEvent(settled.last.ts, settled.map(_.cents).sum,
+        settled.map(_.n).sum, settled.map(_.start).min) :: tail
+    }
+    (emit, compacted)
+  }
+
+  /** Gaps-and-islands over time-sorted entries: a new session starts where
+    * the inter-entry gap exceeds `gapUs` — the same boundary rule as the
     * batch twin's lag-window formulation.
     */
   private def splitByGap(

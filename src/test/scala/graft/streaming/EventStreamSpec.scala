@@ -129,6 +129,64 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("advanceSessions: incremental+compacted equals full-history sessionization (property)") {
+    // Drives the pure per-user state-step over random multi-batch streams
+    // with a monotone watermark (incoming ts always > wm, Spark's late
+    // filter) and checks, at every step, that the CUMULATIVE emissions
+    // equal the sessions a full-history computation marks final at that
+    // watermark — i.e. settled-prefix compaction never changes a
+    // boundary or an aggregate. Also asserts the state bound compaction
+    // exists for: <= 1 settled entry per kept session.
+    val rnd = new scala.util.Random(11)
+    def sessionsOf(events: Seq[(Long, Long)], gap: Long): List[List[(Long, Long)]] = {
+      val sorted = events.sortBy(_._1).toList
+      val out = scala.collection.mutable.ListBuffer.empty[List[(Long, Long)]]
+      val cur = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._1 - cur.last._1 > gap) { out += cur.toList; cur.clear() }
+        cur += e
+      }
+      if (cur.nonEmpty) out += cur.toList
+      out.toList
+    }
+    for (trial <- 1 to 25) {
+      val gap = (5 + rnd.nextInt(60)).toLong
+      var wm = -1000L
+      var kept = List.empty[List[SessionEvent]]
+      val all = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      val emitted = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+      for (_ <- 1 to 1 + rnd.nextInt(7)) {
+        val incoming = List.fill(rnd.nextInt(6))(
+          SessionEvent.raw(wm + 1 + rnd.nextInt(250), 1L + rnd.nextInt(100)))
+        all ++= incoming.map(e => (e.ts, e.cents))
+        val (emit, keep) =
+          EventStream.advanceSessions(kept.flatten, incoming, wm, gap)
+        kept = keep
+        emitted ++= emit.map(s => (s.map(_.start).min, s.last.ts,
+          s.map(_.n).sum, s.map(_.cents).sum))
+        // reference: full history, finalized = last + gap <= wm
+        val expectFinal = sessionsOf(all.toSeq, gap)
+          .filter(s => s.last._1 + gap <= wm)
+          .map(s => (s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum))
+        assert(emitted.toList.sorted == expectFinal.sorted,
+          s"trial $trial wm=$wm")
+        // compaction bound: at most one settled entry per kept session
+        keep.foreach(s =>
+          assert(s.count(e => e.ts + gap <= wm) <= 1, s"trial $trial"))
+        wm += rnd.nextInt(200)
+      }
+      // end state: emitted + kept together cover the full history exactly
+      val finalAll = sessionsOf(all.toSeq, gap)
+        .map(s => (s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum))
+      val (lastEmit, lastKeep) =
+        EventStream.advanceSessions(kept.flatten, Nil, Long.MaxValue / 2, gap)
+      assert(lastKeep.isEmpty)
+      val total = emitted.toList ++ lastEmit.map(s => (s.map(_.start).min,
+        s.last.ts, s.map(_.n).sum, s.map(_.cents).sum))
+      assert(total.sorted == finalAll.sorted, s"trial $trial end")
+    }
+  }
+
   test("sessionize: out-of-order in-watermark straggler still merges (ADVICE r03)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sess_ooo").toString
