@@ -113,19 +113,23 @@ object Bench {
     // headline low leg: cpus/8 floored at 4 but CAPPED so the 4x high leg
     // never exceeds the configured core budget (on an 8-core budget the
     // uncapped 4v16 pair would oversubscribe the high leg and emit a
-    // meaningless efficiency)
+    // meaningless efficiency). ANY pair whose high leg exceeds the budget
+    // is dropped (not clamped) — an oversubscribed leg measures scheduler
+    // thrash, not scaling; duplicates after capping collapse to one.
     val hLow = math.min(math.max(4, cpus / 8), math.max(1, cpus / 4))
     val allPairs = Seq(
       Pair(hLow, hLow * 4, "headline", samples = 5),
       Pair(math.max(2, cpus / 16), math.max(2, cpus / 16) * 4,
         "locality_supplement"))
+      .filter(_.high <= cpus)
+      .distinctBy(p => (p.low, p.high))
     // SPARK_GRAFT_PAIRS=headline|locality_supplement|both (iteration aid)
     val pairSel = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "both")
     val pairs =
       if (pairSel == "both") allPairs else allPairs.filter(_.role == pairSel)
-    require(pairs.nonEmpty,
-      s"SPARK_GRAFT_PAIRS='$pairSel' matches no pair " +
-        s"(expected: both, ${allPairs.map(_.role).mkString(", ")})")
+    require(!doScaling || pairs.nonEmpty,
+      s"SPARK_GRAFT_PAIRS='$pairSel' matches no pair within the " +
+        s"$cpus-core budget (available: both, ${allPairs.map(_.role).mkString(", ")})")
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
       if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
 
@@ -143,15 +147,27 @@ object Bench {
     // synthesis-version component: the r3 scaling corpus went STALE when
     // the corpus templates changed but the input parquet did not (the
     // fingerprint covered data, not code) — r3 measured a 16x-replica of
-    // the ROUND-2 corpus. Hash Oracles.synCte: it is generated from the
-    // same lexicon constants AND embeds the template sentence text and
-    // selector arithmetic, so any template change (not just lexicon-list
-    // edits) invalidates cached corpora. The partition count is part of
-    // the key too (it changes split/file layout).
+    // the ROUND-2 corpus. The key hashes (a) Oracles.synCte — template
+    // sentence text + selector arithmetic — and (b) the BYTECODE of every
+    // class on the synthesis path (DocsSynth/Passages/Splitter/Lexicon),
+    // so a code edit to splitting/assembly invalidates cached corpora
+    // even when the span templates are untouched (round-4 review: synCte
+    // alone missed Spark-side splitting changes). The partition count is
+    // part of the key too (it changes split/file layout).
     val corpusParts = 256
-    val synVer = java.security.MessageDigest.getInstance("MD5")
-      .digest(Oracles.synCte.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val synVer = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(Oracles.synCte.getBytes("UTF-8"))
+      Seq(graft.ingest.DocsSynth.getClass, graft.ingest.Passages.getClass,
+        graft.ingest.Splitter.getClass, graft.Lexicon.getClass)
+        .foreach { c =>
+          val res = c.getResourceAsStream(
+            "/" + c.getName.replace('.', '/') + ".class")
+          if (res != null)
+            try md.update(res.readAllBytes()) finally res.close()
+        }
+      md.digest().take(4).map("%02x".format(_)).mkString
+    }
     def corpusPath(r: Int): String =
       s"/tmp/graft_bench_corpus_${new java.io.File(sfDir).getName}_rep${r}_p${corpusParts}_${synVer}_$liLen"
     def materialize(r: Int): Unit =
@@ -231,8 +247,9 @@ object Bench {
 
     // First-touch build cost of each shared session stage, itemized in
     // dependency order so each entry is that stage's INCREMENTAL cost
-    // (textual includes docs' synthesis upstream, so docs runs first).
-    // Per-query numbers below then time the query itself.
+    // (spanRows is the root: docs assembles from it, textual from docs,
+    // and so on down the list). Per-query numbers below then time the
+    // query itself.
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val stageBuilds: Seq[(String, Double)] =
       if (!runQueries) Seq.empty

@@ -339,14 +339,8 @@ object Similarity {
     // table). Sparse ids clamp nlist to the vectors actually present, and
     // an empty/embedding-less table returns an empty result instead of
     // throwing inside the assignment kernel (ADVICE r03 + round-4 review).
-    var centroids: Array[Array[Float]] = {
-      import embeddings.sparkSession.implicits._
-      embeddings
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .orderBy("vec_id").limit(nlist)
-        .as[(Long, Array[Float])].collect()
-        .sortBy(_._1).map(_._2).filter(_.nonEmpty)
-    }
+    var centroids: Array[Array[Float]] =
+      vecs.orderBy("vec_id").limit(nlist).collect().map(_._2).filter(_.nonEmpty)
     if (centroids.isEmpty)
       return Seq.empty[(Long, Int, Long)]
         .toDF("query_id", "rank", "neighbor_id")
