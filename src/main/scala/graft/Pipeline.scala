@@ -108,6 +108,14 @@ object Pipeline {
       Linker.link(spark, mentions(spark, sfDir))
     }
 
+  /** Per-passage world-bible category scores — one classify pass per
+    * (session, dir), shared by the q30/q43/q44/q45 family (each consumer
+    * previously re-ran the full per-passage classification). */
+  def wbCategories(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "wb_categories") {
+      graft.worldbible.WorldBible.categories(spark, textual(spark, sfDir))
+    }
+
   /** Extracted SVO triples — fused single-stage hot path (detection +
     * extraction + broadcast-index linking in one mapPartitions; no shuffle
     * before the edge aggregate).

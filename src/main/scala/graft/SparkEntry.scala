@@ -173,8 +173,7 @@ object SparkEntry {
     "q39_sample_quotes" -> ((s, dir) =>
       graft.voice.Profiles.sampleQuotes(
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
-    "q30_worldbible_cat" -> ((s, dir) =>
-      graft.worldbible.WorldBible.categories(s, Pipeline.textual(s, dir))),
+    "q30_worldbible_cat" -> ((s, dir) => Pipeline.wbCategories(s, dir)),
     "q31_worldbible_rules" -> ((s, dir) =>
       graft.worldbible.WorldBible.worldRules(s, Pipeline.textual(s, dir))),
     "q32_lore_checks" -> ((s, dir) => {
@@ -209,12 +208,15 @@ object SparkEntry {
             pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L))),
         "corpus")),
     "q43_cultures" -> ((s, dir) =>
-      graft.worldbible.WorldBible.cultures(s, Pipeline.textual(s, dir))
+      graft.worldbible.WorldBible.cultures(s, Pipeline.textual(s, dir),
+        Some(Pipeline.wbCategories(s, dir)))
         .select("people", "name", "passages")),
     "q44_magic" -> ((s, dir) =>
-      graft.worldbible.WorldBible.magicPassages(s, Pipeline.textual(s, dir))),
+      graft.worldbible.WorldBible.magicPassages(s, Pipeline.textual(s, dir),
+        Some(Pipeline.wbCategories(s, dir)))),
     "q45_geography" -> ((s, dir) =>
-      graft.worldbible.WorldBible.geography(s, Pipeline.textual(s, dir))),
+      graft.worldbible.WorldBible.geography(s, Pipeline.textual(s, dir),
+        Some(Pipeline.wbCategories(s, dir)))),
     "q40_timeline" -> ((s, dir) =>
       graft.lore.Temporal.timeline(s, Pipeline.textual(s, dir))
         .select("name", "birth_era", "death_era")),

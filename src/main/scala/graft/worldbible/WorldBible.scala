@@ -181,11 +181,15 @@ object WorldBible {
 
   /** Passages carrying a given world-bible category score — the
     * by_category grouping of the reference pipeline (extractor.py:127-133).
+    * `cats` lets callers supply an already-materialized [[categories]]
+    * table (the Pipeline stage cache) so the per-passage classify pass
+    * runs once per session instead of once per consumer query.
     */
   private def categorized(
-      spark: SparkSession, passages: DataFrame, category: String): DataFrame =
+      spark: SparkSession, passages: DataFrame, category: String,
+      cats: Option[DataFrame] = None): DataFrame =
     passages.join(
-      categories(spark, passages)
+      cats.getOrElse(categories(spark, passages))
         .filter(col("category") === category)
         .select("doc_id", "pos"),
       Seq("doc_id", "pos"), "left_semi")
@@ -196,8 +200,9 @@ object WorldBible {
     * extraction is a no-op). A passage may join several groups, exactly
     * like the reference's loop.
     */
-  def cultures(spark: SparkSession, passages: DataFrame): DataFrame = {
-    val cult = categorized(spark, passages, "culture")
+  def cultures(spark: SparkSession, passages: DataFrame,
+      cats: Option[DataFrame] = None): DataFrame = {
+    val cult = categorized(spark, passages, "culture", cats)
       .withColumn("lw", lower(col("text")))
     val grouped = PeoplesKeywords.map { case (people, kws) =>
       cult.filter(kws.map(k => col("lw").contains(k)).reduce(_ || _))
@@ -215,8 +220,9 @@ object WorldBible {
     * Per-row classification — the assembled single system is
     * [[magicSystem]].
     */
-  def magicPassages(spark: SparkSession, passages: DataFrame): DataFrame =
-    categorized(spark, passages, "magic")
+  def magicPassages(spark: SparkSession, passages: DataFrame,
+      cats: Option[DataFrame] = None): DataFrame =
+    categorized(spark, passages, "magic", cats)
       .withColumn("lw", lower(col("text")))
       .withColumn("kind",
         when(col("lw").contains("cannot") || col("lw").contains("forbidden"),
@@ -262,9 +268,10 @@ object WorldBible {
     """(the\s+)?([\w\s]+)\s+(is|was|lies|stands?)\s+(in|on|near|by|at)\s+""",
     Pattern.CASE_INSENSITIVE)
 
-  def geography(spark: SparkSession, passages: DataFrame): DataFrame = {
+  def geography(spark: SparkSession, passages: DataFrame,
+      cats: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val geo = categorized(spark, passages, "geography")
+    val geo = categorized(spark, passages, "geography", cats)
     val names = geo.select("doc_id", "pos", "text").as[(String, Int, String)]
       .mapPartitions(_.flatMap { case (d, p, t) =>
         val m = LocationPattern.matcher(t)
