@@ -116,6 +116,13 @@ object Pipeline {
       graft.worldbible.WorldBible.categories(spark, textual(spark, sfDir))
     }
 
+  /** W4-deduped world rules — one extractAll pass per (session, dir),
+    * shared by q31 and the q32 lore checker's rules table. */
+  def wbRules(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "wb_rules") {
+      graft.worldbible.WorldBible.worldRules(spark, textual(spark, sfDir))
+    }
+
   /** Extracted SVO triples — fused single-stage hot path (detection +
     * extraction + broadcast-index linking in one mapPartitions; no shuffle
     * before the edge aggregate).

@@ -174,14 +174,13 @@ object SparkEntry {
       graft.voice.Profiles.sampleQuotes(
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
     "q30_worldbible_cat" -> ((s, dir) => Pipeline.wbCategories(s, dir)),
-    "q31_worldbible_rules" -> ((s, dir) =>
-      graft.worldbible.WorldBible.worldRules(s, Pipeline.textual(s, dir))),
+    "q31_worldbible_rules" -> ((s, dir) => Pipeline.wbRules(s, dir)),
     "q32_lore_checks" -> ((s, dir) => {
       val txt = Pipeline.textual(s, dir)
       graft.lore.Checker.checkAll(s, loreClaims,
         Pipeline.edges(s, dir),
         Pipeline.vertices(s, dir).select("id", "label"),
-        graft.worldbible.WorldBible.rulesTable(s, txt),
+        graft.worldbible.WorldBible.rulesTableFrom(Pipeline.wbRules(s, dir)),
         graft.lore.Temporal.timeline(s, txt),
         graft.lore.Events.fromPassages(s, txt).toDF())
     }),

@@ -326,9 +326,15 @@ object WorldBible {
     * checker.py:221-235 over the bible's per-category deduped rules): one
     * row per distinct lower(rule text).
     */
-  def rulesTable(spark: SparkSession, passages: DataFrame): DataFrame = {
+  def rulesTable(spark: SparkSession, passages: DataFrame): DataFrame =
+    rulesTableFrom(worldRules(spark, passages))
+
+  /** [[rulesTable]] over an already-materialized [[worldRules]] table —
+    * lets the lore checker share the Pipeline's cached rules stage
+    * instead of re-running the extractAll pass. */
+  def rulesTableFrom(worldRules: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    worldRules(spark, passages)
+    worldRules
       .groupBy(lower(col("rule_text")).as("rule_text"))
       .agg(org.apache.spark.sql.functions.min(col("category")).as("category"))
   }
