@@ -263,7 +263,8 @@ object Bench {
         "mentions" -> ((s, d) => Pipeline.mentions(s, d)),
         "linked" -> ((s, d) => Pipeline.linked(s, d)),
         "clusters" -> ((s, d) => Pipeline.clusterAssignment(s, d)),
-        "wb_categories" -> ((s, d) => Pipeline.wbCategories(s, d))
+        "wb_categories" -> ((s, d) => Pipeline.wbCategories(s, d)),
+        "wb_rules" -> ((s, d) => Pipeline.wbRules(s, d))
       ).map { case (name, f) => name -> timed(f(spark, sfDir))._2 }
     val stageJson = stageBuilds
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
