@@ -165,14 +165,20 @@ object Pipeline {
     * sandbox stand-in for a larger corpus so the N-vs-4N throughput
     * measurement is compute-bound rather than fixed-overhead-bound.
     */
-  def triplesReplicated(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
+  def triplesReplicated(spark: SparkSession, sfDir: String, rep: Int): DataFrame =
+    Triples.fromPassagesFused(
+      spark, textualReplicated(spark, sfDir, rep)).toDF()
+
+  /** The textual passages replicated `rep` times (doc ids suffixed) —
+    * shared by the scaling bench and the rep-N materialization run.
+    */
+  def textualReplicated(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
     val reps = spark.range(rep).select(col("id").as("rep__"))
-    val replicated = textual(spark, sfDir)
+    textual(spark, sfDir)
       .crossJoin(broadcast(reps))
       .withColumn("doc_id",
         concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
       .drop("rep__")
-    Triples.fromPassagesFused(spark, replicated).toDF()
   }
 
   /** Flagship: who spoke with whom, ranked (SURVEY.md §7.2, T10). */

@@ -130,12 +130,17 @@ object SparkEntry {
         maxHamming = 6)),
     "q28_ann_lsh" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(embTable(s, dir), dim = 64)),
-    // IVF scale path (coarse-quantizer cells + nprobe search); approximate
-    // like q28, so rows-only in the driver compare — SimilaritySpec
-    // asserts exact equality with brute force at nprobe = nlist and a
-    // recall floor at nprobe < nlist
+    // IVF scale path (coarse-quantizer cells + nprobe search), registered
+    // at its EXACT DEGENERATION (nprobe = nlist): the full machinery runs
+    // — Lloyd training, cell assignment, probe-table broadcast join,
+    // per-query rerank window — and probing every cell makes the result
+    // provably equal to brute force, so the row is fully oracle-checkable
+    // (VERDICT r04 #1; shares q24's brute-force SQL). The approximate
+    // nprobe < nlist path stays covered by SimilaritySpec's recall-floor
+    // and partial-scan assertions — its results legitimately vary with the
+    // input partition layout, so it has no DuckDB-expressible oracle.
     "q53_ann_ivf" -> ((s, dir) =>
-      graft.ml.Similarity.ivfTopK(embTable(s, dir))),
+      graft.ml.Similarity.ivfTopK(embTable(s, dir), nprobe = 16)),
     "q33_distinctive_words" -> ((s, dir) =>
       graft.voice.Profiles.distinctiveWords(
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
@@ -333,6 +338,13 @@ object SparkEntry {
     "Smaug arrived Erebor before Bilbo",
     "Gandalf killed Frodo before Thorin",
     "Gandalf arrived Hobbiton after Bilbo",
+    // parser-branch battery (VERDICT r04 #6): the time-period and
+    // uncertainty branches of parser.py:136-165, oracle-checked
+    "Gandalf traveled to Mirkwood, in the Third Age",
+    "Balin of the First Age",
+    "Bilbo might have visited Esgaroth",
+    "Gandalf possibly met Bilbo",
+    "Gandalf met Bilbo, probably",
     // unparseable -> general rules fallback
     "Perhaps beyond the misty mountains")
 
@@ -424,6 +436,32 @@ object SparkEntry {
       a1 = "gandalf", stem1 = "arriv", p1 = "hobbiton",
       a2 = "bilbo", stem2 = "arriv", p2 = "hobbiton", claimed = "after",
       evClaimText = "Gandalf arrived Hobbiton Bilbo arrived Hobbiton"),
+    // --- parser-branch battery (VERDICT r04 #6) ---
+    // the TIME pattern fires ("in the Third Age") AND the relationship
+    // cascade wins the claim type, exactly as in the reference (the comma
+    // stops the greedy object group at "Mirkwood"; _check_relationship
+    // ignores the parsed time_period) -> same VALID row as the bare claim
+    OracleClaim("Gandalf traveled to Mirkwood, in the Third Age",
+      "relationship", subj = "gandalf", et = "TRAVELED_TO", obj = "mirkwood"),
+    // pure time-period fallback via the "of" alternation; subject from the
+    // leading capitalized run; First Age (ord 2) precedes every planted
+    // birth era, so the timeline yields a deterministic verdict
+    OracleClaim("Balin of the First Age", "temporal",
+      subj = "balin", eraOrd = 2),
+    // uncertainty branch ("might have") + reference quirk: the modal
+    // phrase is swallowed by the greedy subject group, so there is no
+    // edge evidence and the claim falls to the rules scan
+    OracleClaim("Bilbo might have visited Esgaroth", "relationship",
+      subj = "might have", et = "TRAVELED_TO", obj = "esgaroth"),
+    // mid-sentence uncertainty adverb: same greedy-subject swallow family
+    // as "Gandalf never met Saruman" above
+    OracleClaim("Gandalf possibly met Bilbo", "relationship",
+      subj = "gandalf possibly", et = "INTERACTED_WITH", obj = "bilbo"),
+    // uncertainty suffix after the comma: `uncertain` is parse-only state
+    // in the reference (checker.py never reads it), so the verdict equals
+    // the unmarked claim's — demonstrated as an oracle row
+    OracleClaim("Gandalf met Bilbo, probably", "relationship",
+      subj = "gandalf", et = "INTERACTED_WITH", obj = "bilbo"),
     OracleClaim("Perhaps beyond the misty mountains", "unknown"))
 
   private def sq(s: String): String = s.replace("'", "''")
@@ -1469,6 +1507,22 @@ object SparkEntry {
   private def embTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Exact cosine top-k oracle — shared by q24 (brute force) and q53 (IVF
+    * at nprobe = nlist, which provably degenerates to the same exact
+    * search; VERDICT r04 #1).
+    */
+  private val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+      |      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, CAST(rank_big AS INT) AS rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank_big
+      |  FROM s) WHERE rank_big <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val withEntities = (sel: String) =>
       Oracles.overSyn(s", ${Oracles.entityRowsCte}\n$sel")
@@ -1650,17 +1704,11 @@ object SparkEntry {
           |             generate_subscripts(string_split(text, ' '), 1) AS i
           |      FROM documents)
           |GROUP BY 1""".stripMargin,
-      "q24_ann_topk" ->
-        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-          |           FROM embeddings WHERE vec_id < 20),
-          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-          |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
-          |      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-          |SELECT query_id, CAST(rank_big AS INT) AS rank, neighbor_id FROM (
-          |  SELECT query_id, neighbor_id,
-          |         row_number() OVER (PARTITION BY query_id
-          |                            ORDER BY cos DESC, neighbor_id) AS rank_big
-          |  FROM s) WHERE rank_big <= 5""".stripMargin,
+      "q24_ann_topk" -> annTopKSql,
+      // IVF at nprobe = nlist degenerates to the exact search (every cell
+      // probed), so the brute-force oracle is ITS oracle too — one SQL
+      // text, two independent Spark plans checked against it
+      "q53_ann_ivf" -> annTopKSql,
       "q33_distinctive_words" -> withDialogue(
         """, words AS (
           |  SELECT speaker, unnest(regexp_split_to_array(lower(quote), '\s+')) AS word

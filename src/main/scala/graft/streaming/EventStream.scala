@@ -146,10 +146,11 @@ object EventStream {
         case (user, it, state: GroupState[SessionBuffer]) =>
           val incoming = it.map(e => SessionEvent.raw(microsOf(e._2),
             math.floor(e._3 * 100 + 0.5).toLong)).toList
-          // watermark in micros; no event with ts <= wm can arrive later
-          // (Spark filters late rows at ts <= watermark), so a session
-          // whose end + gap <= wm can never be extended or bridged — it
-          // is final.
+          // watermark in micros; no event with ts < wm can arrive later
+          // (Spark's late filter drops at least rows with ts < watermark),
+          // so a session whose end + gap < wm can never be extended or
+          // bridged — it is final. Strict inequality keeps this sound even
+          // if rows at exactly ts == watermark are admitted (ADVICE r04).
           val wm = state.getCurrentWatermarkMs() * 1000L
           val (emit, keep) = advanceSessions(
             state.getOption.map(_.events).getOrElse(Nil), incoming, wm, gapUs)
@@ -176,11 +177,14 @@ object EventStream {
 
   /** One sessionization step, pure and unit-testable: merge buffered +
     * incoming entries, gap-split, emit the sessions the watermark has
-    * finalized (end + gap <= wm), and COMPACT each kept session's settled
-    * prefix (entries with ts + gap <= wm) into a single folded entry.
+    * finalized (end + gap < wm, strictly), and COMPACT each kept session's
+    * settled prefix (entries with ts + gap < wm) into a single folded
+    * entry.
     *
-    * Compaction safety: a future event has ts > wm (Spark's late filter),
-    * so it is > gap away from every settled entry — it can only attach to
+    * Compaction safety: a future event has ts >= wm (the conservative
+    * reading of Spark's late filter), and a settled entry has
+    * ts + gap < wm, so the future event is > gap away from every settled
+    * entry — it can only attach to
     * the unsettled tail; and arriving events can only bridge or extend
     * sessions, never split one (inserting an event between two in-gap
     * neighbors keeps both distances within the gap). So folding the
@@ -199,9 +203,15 @@ object EventStream {
       gapUs: Long): (List[List[SessionEvent]], List[List[SessionEvent]]) = {
     val merged = (buffered ++ incoming).sortBy(_.ts)
     val sessions = splitByGap(merged, gapUs)
-    val (emit, keep) = sessions.partition(s => s.last.ts + gapUs <= wmUs)
+    // STRICT inequality on both finality tests (ADVICE r04): whether
+    // Spark's late filter drops rows at ts <= watermark or only ts <
+    // watermark, an event exactly `gap` after a session's last entry
+    // (ts == wm == last + gap) must still be able to extend it, so a
+    // session is final only when last + gap < wm. Costs at most one
+    // watermark tick of emission latency; never changes boundaries.
+    val (emit, keep) = sessions.partition(s => s.last.ts + gapUs < wmUs)
     val compacted = keep.map { s =>
-      val (settled, tail) = s.span(e => e.ts + gapUs <= wmUs)
+      val (settled, tail) = s.span(e => e.ts + gapUs < wmUs)
       if (settled.size <= 1) s
       else SessionEvent(settled.last.ts, settled.map(_.cents).sum,
         settled.map(_.n).sum, settled.map(_.start).min) :: tail

@@ -153,4 +153,22 @@ class CanonicalizeSpec extends SparkSpec {
     assert(c(("bilbo", "thorin")) == 1)
     assert(c(("gandalf", "thorin")) == 1)
   }
+
+  test("cooccurrence caps the per-passage pair expansion (VERDICT r04 #5)") {
+    import spark.implicits._
+    // a pathological mention-dense passage: 300 distinct mentions in ONE
+    // passage would expand to C(300,2) = 44,850 local pairs uncapped; the
+    // cap admits the first 64 keys in canonical order -> C(64,2) = 2,016
+    val dense = (0 until 300).map(i => ("d1", 0, f"Name$i%03d"))
+      .toDF("doc_id", "pos", "text")
+    assert(Canonicalize.cooccurrence(dense).count() == 64L * 63 / 2)
+    // below the cap the result is identical to an effectively-uncapped run
+    val small = Seq(
+      ("d1", 0, "Gandalf"), ("d1", 0, "Bilbo"), ("d1", 0, "Thorin"))
+      .toDF("doc_id", "pos", "text")
+    val capped = Canonicalize.cooccurrence(small).collect().toSet
+    val uncapped = Canonicalize
+      .cooccurrence(small, maxKeysPerPassage = 1 << 20).collect().toSet
+    assert(capped == uncapped && capped.size == 3)
+  }
 }
