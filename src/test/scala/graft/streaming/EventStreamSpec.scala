@@ -164,15 +164,19 @@ class EventStreamSpec extends SparkSpec {
         kept = keep
         emitted ++= emit.map(s => (s.map(_.start).min, s.last.ts,
           s.map(_.n).sum, s.map(_.cents).sum))
-        // reference: full history, finalized = last + gap <= wm
+        // reference: full history, finalized = last + gap < wm — STRICT,
+        // matching advanceSessions' finality test (ADVICE r04: a session
+        // with last + gap == wm must stay open, because a row at exactly
+        // ts == wm may still be admitted by Spark's late filter and
+        // would extend it)
         val expectFinal = sessionsOf(all.toSeq, gap)
-          .filter(s => s.last._1 + gap <= wm)
+          .filter(s => s.last._1 + gap < wm)
           .map(s => (s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum))
         assert(emitted.toList.sorted == expectFinal.sorted,
           s"trial $trial wm=$wm")
         // compaction bound: at most one settled entry per kept session
         keep.foreach(s =>
-          assert(s.count(e => e.ts + gap <= wm) <= 1, s"trial $trial"))
+          assert(s.count(e => e.ts + gap < wm) <= 1, s"trial $trial"))
         wm += rnd.nextInt(200)
       }
       // end state: emitted + kept together cover the full history exactly
@@ -185,6 +189,32 @@ class EventStreamSpec extends SparkSpec {
         s.last.ts, s.map(_.n).sum, s.map(_.cents).sum))
       assert(total.sorted == finalAll.sorted, s"trial $trial end")
     }
+  }
+
+  test("advanceSessions: watermark-boundary event merges, never splits (ADVICE r04)") {
+    // The exact boundary the strict inequality exists for: a session ends
+    // at ts=100 with gap=50, and the watermark sits at EXACTLY 150
+    // (= last + gap). Under the conservative reading of Spark's late
+    // filter a row at ts == watermark may still be admitted, so the
+    // session must stay open...
+    val gap = 50L
+    val s0 = List(SessionEvent.raw(100L, 7L))
+    val (emit0, keep0) = EventStream.advanceSessions(Nil, s0, 150L, gap)
+    assert(emit0.isEmpty && keep0.size == 1)
+    // ...and an event at exactly ts == wm == last + gap EXTENDS it into
+    // one session (batch semantics: 150 - 100 <= gap), rather than
+    // opening a second one against an already-emitted first
+    val boundary = List(SessionEvent.raw(150L, 3L))
+    val (emit1, keep1) =
+      EventStream.advanceSessions(keep0.flatten, boundary, 150L, gap)
+    assert(emit1.isEmpty && keep1.size == 1 && keep1.head.size == 2)
+    // once the watermark passes strictly, ONE merged session emits
+    val (emit2, keep2) =
+      EventStream.advanceSessions(keep1.flatten, Nil, 201L, gap)
+    assert(keep2.isEmpty && emit2.size == 1)
+    val s = emit2.head
+    assert(s.map(_.start).min == 100L && s.last.ts == 150L &&
+      s.map(_.cents).sum == 10L && s.map(_.n).sum == 2L)
   }
 
   test("sessionize: out-of-order in-watermark straggler still merges (ADVICE r03)") {
