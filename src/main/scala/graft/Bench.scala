@@ -128,8 +128,14 @@ object Bench {
         "locality_supplement"))
       .filter(_.high <= cpus)
       .distinctBy(p => (p.low, p.high))
-    // SPARK_GRAFT_PAIRS=headline|locality_supplement|both (iteration aid)
+    // SPARK_GRAFT_PAIRS=headline|locality_supplement|both (iteration aid).
+    // An unknown selector ABORTS (round-5 self-review finding #2): a typo
+    // must not silently produce a record with no scaling evidence while
+    // the skip-warning below blames the core budget.
     val pairSel = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "both")
+    val knownRoles = Set("both", "headline", "locality_supplement")
+    require(knownRoles(pairSel),
+      s"SPARK_GRAFT_PAIRS='$pairSel' is not one of ${knownRoles.mkString("/")}")
     val pairs =
       if (pairSel == "both") allPairs else allPairs.filter(_.role == pairSel)
     // A core budget that fits no pair (e.g. SPARK_GRAFT_CPUS=2 — scaling
@@ -175,40 +181,61 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val md = java.security.MessageDigest.getInstance("MD5")
       // manual backstop: bump when a synthesis-affecting change lives
-      // outside the hashed classfiles (ADVICE r04)
-      md.update("SYNTH_VERSION=1".getBytes("UTF-8"))
+      // outside the hashed classfiles (ADVICE r04). v2: the replication
+      // scheme changed (passage_id suffix fix) — Pipeline is hashed now,
+      // but corpora cached under v1 keys must die regardless.
+      md.update("SYNTH_VERSION=2".getBytes("UTF-8"))
       md.update(Oracles.synCte.getBytes("UTF-8"))
       // hash EVERY classfile of the synthesis path, enumerated by package
       // prefix from the code source — companion objects AND nested /
       // anonymous classes alike (the previous fixed four-class list missed
       // nested classfiles and unlisted collaborators; ADVICE r04): all of
-      // graft/ingest plus the Lexicon's classfiles, sorted by name so the
-      // digest is enumeration-order independent.
+      // graft/ingest, the Lexicon, AND Pipeline (the stored corpus is
+      // built through Pipeline.textualReplicated — round-5 finding #1 was
+      // exactly a replication-scheme change the fingerprint wouldn't have
+      // seen), sorted by name so the digest is enumeration-order
+      // independent.
       def wanted(rel: String): Boolean = rel.endsWith(".class") &&
-        (rel.startsWith("graft/ingest/") || rel.startsWith("graft/Lexicon"))
-      val src = graft.ingest.DocsSynth.getClass
-        .getProtectionDomain.getCodeSource.getLocation.toURI
-      val root = java.nio.file.Paths.get(src)
+        (rel.startsWith("graft/ingest/") || rel.startsWith("graft/Lexicon") ||
+          rel.startsWith("graft/Pipeline"))
+      // Non-crashing enumeration (round-5 self-review finding #4): a
+      // classloader without a file/jar code source (nested-jar launcher,
+      // null code source) falls back to the version+template digest with
+      // a warning instead of killing the whole bench — the backstop
+      // constant still forces invalidation on bump.
       val entries: Seq[(String, Array[Byte])] =
-        if (java.nio.file.Files.isDirectory(root)) {
-          val walk = java.nio.file.Files.walk(root.resolve("graft"))
-          try walk.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(p => (root.relativize(p).toString.replace('\\', '/'), p))
-            .filter { case (rel, _) => wanted(rel) }
-            .map { case (rel, p) =>
-              (rel, java.nio.file.Files.readAllBytes(p))
-            }.toSeq
-          finally walk.close()
-        } else { // packaged-jar run: same prefixes as zip entries
-          val zf = new java.util.zip.ZipFile(new java.io.File(root.toString))
-          try zf.entries().asScala.filter(e => wanted(e.getName))
-            .map { e =>
-              val in = zf.getInputStream(e)
-              try (e.getName, in.readAllBytes()) finally in.close()
-            }.toSeq
-          finally zf.close()
-        }
+        scala.util.Try {
+          val src = graft.ingest.DocsSynth.getClass
+            .getProtectionDomain.getCodeSource.getLocation.toURI
+          val root = java.nio.file.Paths.get(src)
+          if (java.nio.file.Files.isDirectory(root)) {
+            val pkg = root.resolve("graft")
+            if (!java.nio.file.Files.isDirectory(pkg)) Seq.empty
+            else {
+              val walk = java.nio.file.Files.walk(pkg)
+              try walk.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(p => (root.relativize(p).toString.replace('\\', '/'), p))
+                .filter { case (rel, _) => wanted(rel) }
+                .map { case (rel, p) =>
+                  (rel, java.nio.file.Files.readAllBytes(p))
+                }.toSeq
+              finally walk.close()
+            }
+          } else { // packaged-jar run: same prefixes as zip entries
+            val zf = new java.util.zip.ZipFile(new java.io.File(root.toString))
+            try zf.entries().asScala.filter(e => wanted(e.getName))
+              .map { e =>
+                val in = zf.getInputStream(e)
+                try (e.getName, in.readAllBytes()) finally in.close()
+              }.toSeq
+            finally zf.close()
+          }
+        }.getOrElse(Seq.empty)
+      if (entries.isEmpty)
+        System.err.println("[bench] WARNING: could not enumerate synthesis " +
+          "classfiles for the corpus fingerprint; falling back to " +
+          "SYNTH_VERSION + template digest only")
       entries.sortBy(_._1).foreach { case (rel, bytes) =>
         md.update(rel.getBytes("UTF-8")); md.update(bytes)
       }
@@ -219,12 +246,11 @@ object Bench {
     def materialize(r: Int): Unit =
       if (!new java.io.File(s"${corpusPath(r)}/_SUCCESS").exists()) {
         val s = session(cpus)
-        import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
-        val reps = s.range(r).select(col("id").as("rep__"))
-        Pipeline.textual(s, sfDir)
-          .crossJoin(broadcast(reps))
-          .withColumn("doc_id",
-            concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
+        // ONE replication implementation (Pipeline.textualReplicated) for
+        // the bench corpus and the rep-N RunAll path — a scheme change
+        // (e.g. the passage_id suffix fix) applies to both or neither
+        // (round-5 self-review finding #5)
+        Pipeline.textualReplicated(s, sfDir, r)
           .select("doc_id", "pos", "passage_id", "text")
           .repartition(corpusParts)
           .write.mode("overwrite").parquet(corpusPath(r))
@@ -321,9 +347,12 @@ object Bench {
     // itemized here (`triples_extract_sec`) so a reader doesn't misread
     // the per-query extraction re-run as a plan-cost difference between
     // those queries (VERDICT r04 wrong #2).
+    // min-of-2 like every number it contextualizes (round-5 self-review
+    // finding #3): a single sample could catch a load spike and itemize
+    // an inflated extraction cost next to spike-resistant query timings
     val triplesSec: Double =
       if (!runQueries) 0.0
-      else timed(Pipeline.triples(spark, sfDir).count())._2
+      else (1 to 2).map(_ => timed(Pipeline.triples(spark, sfDir).count())._2).min
 
     // TWO full passes over the query list, min per query, the passes
     // minutes apart: a co-tenant load spike (the r4 driver record showed
@@ -374,15 +403,20 @@ object Bench {
         l.count() + cl.count()
       }
       val txt = Pipeline.textual(spark, sfDir)
+      val hit = pmod(hash(col("doc_id"), col("pos")), lit(2)) === 0
       val skewed = txt.withColumn("text",
-        when(pmod(hash(col("doc_id"), col("pos")), lit(2)) === 0,
-          concat(col("text"), lit(" Aragorn pressed onward.")))
+        when(hit, concat(col("text"), lit(" Aragorn pressed onward.")))
           .otherwise(col("text")))
+      // MEASURED skew fraction, not the nominal 0.5: hash-mod-2 over the
+      // actual id set lands near-half, not exactly half (round-5
+      // self-review finding #6) — the record must not claim a precision
+      // the probe does not have
+      val frac = txt.filter(hit).count().toDouble / math.max(1L, txt.count())
       val samples = (1 to 2).map { _ =>
         (timed(linkFamily(txt))._2, timed(linkFamily(skewed))._2)
       }
       val (tu, ts) = (samples.map(_._1).min, samples.map(_._2).min)
-      f""","skew":{"uniform_sec":$tu%.3f,"skewed_sec":$ts%.3f,"ratio":${ts / tu}%.3f,"skewed_passage_frac":0.5,"alias":"Aragorn"}"""
+      f""","skew":{"uniform_sec":$tu%.3f,"skewed_sec":$ts%.3f,"ratio":${ts / tu}%.3f,"skewed_passage_frac":$frac%.4f,"alias":"Aragorn"}"""
     }
 
     println(

@@ -169,15 +169,22 @@ object Pipeline {
     Triples.fromPassagesFused(
       spark, textualReplicated(spark, sfDir, rep)).toDF()
 
-  /** The textual passages replicated `rep` times (doc ids suffixed) —
-    * shared by the scaling bench and the rep-N materialization run.
+  /** The textual passages replicated `rep` times — shared by the scaling
+    * bench and the rep-N materialization run. BOTH identity columns are
+    * suffixed per replica: passage_id embeds the ORIGINAL doc_id
+    * (p_<doc>_s<pos>, built before replication), so suffixing doc_id
+    * alone would leave rep-fold duplicate passage_ids — the replicated
+    * corpus would violate the materialization job's own
+    * passage_id_unique invariant and collapse passage-keyed group-bys
+    * across replicas (round-5 self-review finding #1).
     */
   def textualReplicated(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
     val reps = spark.range(rep).select(col("id").as("rep__"))
+    val sfx = concat(lit("#"), col("rep__").cast("string"))
     textual(spark, sfDir)
       .crossJoin(broadcast(reps))
-      .withColumn("doc_id",
-        concat(col("doc_id"), lit("#"), col("rep__").cast("string")))
+      .withColumn("doc_id", concat(col("doc_id"), sfx))
+      .withColumn("passage_id", concat(col("passage_id"), sfx))
       .drop("rep__")
   }
 

@@ -23,6 +23,28 @@ class MaterializeSpec extends SparkSpec {
     assert(merged(("a", "c", "KILLED")) == ((1L, Seq("p4"), "p4")))
   }
 
+  test("textualReplicated: doc AND passage ids unique across replicas (round-5 finding #1)") {
+    // passage_id embeds the ORIGINAL doc_id (p_<doc>_s<pos>, built before
+    // replication) — suffixing doc_id alone left rep-fold duplicate
+    // passage_ids, so the rep-N materialization violated its own
+    // passage_id_unique invariant and passage-keyed group-bys collapsed
+    // across replicas. Both ids must now be replica-unique, and each
+    // replica must reproduce the base corpus row-for-row.
+    val base = graft.Pipeline.textual(spark, sf)
+    val rep = graft.Pipeline.textualReplicated(spark, sf, 3)
+    val n = base.count()
+    assert(rep.count() == 3 * n)
+    assert(rep.select("doc_id", "pos").distinct().count() == 3 * n)
+    assert(rep.select("passage_id").distinct().count() ==
+      3 * base.select("passage_id").distinct().count())
+    // replica 0 equals the base corpus modulo the "#0" suffix
+    val rep0 = rep.filter(col("doc_id").endsWith("#0"))
+      .withColumn("doc_id", regexp_replace(col("doc_id"), "#0$", ""))
+      .withColumn("passage_id", regexp_replace(col("passage_id"), "#0$", ""))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    assert(rep0.exceptAll(base).isEmpty && base.exceptAll(rep0).isEmpty)
+  }
+
   test("pipeline resume: completed stages are loaded, restart is identical") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val edges1 = Materialize.runAll(spark, sf, wh)
