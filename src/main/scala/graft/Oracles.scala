@@ -28,7 +28,7 @@ object Oracles {
        |    CAST(2900 + l_partkey % 60 AS INT) AS y
        |  FROM lineitem
        |  WINDOW w AS (PARTITION BY l_orderkey
-               ORDER BY l_linenumber, l_partkey, l_suppkey)
+       |               ORDER BY l_linenumber, l_partkey, l_suppkey)
        |)""".stripMargin
 
   private def charAt(i: String) = sqlElem(Chars, i)
@@ -43,10 +43,11 @@ object Oracles {
   private def objKindAt(i: String) =
     s"(${Verbs.map(_._3).mkString("[", ", ", "]")})[CAST(($i) AS INT) + 1]"
 
-  /** Full span derivation: doc_id, pos, kind, text, media_ref, offset
-    * plus the selector columns for downstream arithmetic oracles.
+  /** Shared base + span derivation (everything up to and including
+    * `syn0`); [[synCte]] and [[synCteLean]] both append their own
+    * `syn` CTE on top so there is a single source of truth.
     */
-  val synCte: String = {
+  private val synPrefix: String = {
     val subj = charAt("s")
     val objC = charAt("o")
     val third = charAt("(o + 3) % 20")
@@ -98,14 +99,20 @@ object Oracles {
        |    CASE WHEN m BETWEEN 18 AND 19 THEN
        |      'm/' || l_orderkey || '/' || l_linenumber || '.png' END AS media_ref
        |  FROM syn_base
-       |),
+       |)""".stripMargin
+  }
+
+  /** Full span derivation: doc_id, pos, kind, text, media_ref, offset
+    * plus the selector columns for downstream arithmetic oracles.
+    */
+  val synCte: String =
+    s"""$synPrefix,
        |syn AS (
        |  SELECT *, CAST(coalesce(sum(length(text) + 1) OVER (
        |      PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "offset"
        |  FROM syn0
        |)""".stripMargin
-  }
 
   /** Wrap a SELECT over `syn` into a full oracle statement. */
   def overSyn(select: String): String = s"WITH $synCte\n$select"
@@ -117,18 +124,7 @@ object Oracles {
     * died in a DuckDB allocation failure under harness memory pressure,
     * so its oracle (and only its SELECT shape) runs over this lean base.
     */
-  val synCteLean: String = {
-    val trimmed = synCte.stripSuffix(
-      """,
-        |syn AS (
-        |  SELECT *, CAST(coalesce(sum(length(text) + 1) OVER (
-        |      PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "offset"
-        |  FROM syn0
-        |)""".stripMargin)
-    require(trimmed.length < synCte.length, "synCte tail drifted")
-    s"$trimmed,\nsyn AS (SELECT * FROM syn0)"
-  }
+  val synCteLean: String = s"$synPrefix,\nsyn AS (SELECT * FROM syn0)"
 
   /** Wrap a SELECT over the lean (offset-free) `syn`. */
   def overSynLean(select: String): String = s"WITH $synCteLean\n$select"
@@ -381,14 +377,14 @@ object Oracles {
     * (LinkerSpec/CanonicalizeSpec assert no other pair reaches 0.90).
     * Requires entityRowsCte.
     */
-  val clusterCte: String =
+  private def clusterCteAt(typoEdgeFilter: String): String =
     s"""nodes AS (SELECT DISTINCT lower(text) AS node FROM entity_rows),
        |e0 AS (
        |  SELECT lower($eSubj) AS src, lower($eAlias) AS dst
        |  FROM syn WHERE m BETWEEN 15 AND 16
        |  UNION
        |  SELECT lower($eTypo) AS src, lower($eSubj) AS dst
-       |  FROM syn WHERE m = 14 AND length($eSubj) >= 6
+       |  FROM syn WHERE m = 14$typoEdgeFilter
        |    AND lower($eSubj) IN (SELECT node FROM nodes)
        |),
        |sym AS (SELECT src AS a, dst AS b FROM e0
@@ -407,35 +403,13 @@ object Oracles {
        |  ) GROUP BY node
        |)""".stripMargin
 
+  val clusterCte: String = clusterCteAt(s" AND length($eSubj) >= 6")
+
   /** Cross-book variant of [[clusterCte]]: fuzzy threshold 0.85 (X3), so
     * EVERY typo merges — ratio 2(n-1)/(2n-1) >= 0.85 for all n >= 4, and
     * all planted names have n >= 4.
     */
-  val clusterCte85: String =
-    s"""nodes AS (SELECT DISTINCT lower(text) AS node FROM entity_rows),
-       |e0 AS (
-       |  SELECT lower($eSubj) AS src, lower($eAlias) AS dst
-       |  FROM syn WHERE m BETWEEN 15 AND 16
-       |  UNION
-       |  SELECT lower($eTypo) AS src, lower($eSubj) AS dst
-       |  FROM syn WHERE m = 14
-       |    AND lower($eSubj) IN (SELECT node FROM nodes)
-       |),
-       |sym AS (SELECT src AS a, dst AS b FROM e0
-       |        UNION SELECT dst AS a, src AS b FROM e0),
-       |l1 AS (
-       |  SELECT node, min(x) AS c FROM (
-       |    SELECT node, node AS x FROM nodes
-       |    UNION ALL SELECT a AS node, b AS x FROM sym
-       |  ) GROUP BY node
-       |),
-       |l2 AS (
-       |  SELECT node, min(x) AS cluster FROM (
-       |    SELECT node, c AS x FROM l1
-       |    UNION ALL
-       |    SELECT s.a AS node, l.c AS x FROM sym s JOIN l1 l ON l.node = s.b
-       |  ) GROUP BY node
-       |)""".stripMargin
+  val clusterCte85: String = clusterCteAt("")
 
   /** Expected dialogue lines (V1/V3 outcome on the planted templates):
     * tiers 1-2 (m=11..13, conf 0.9), tier 4 (m=23 even, conf 0.4, no verb),

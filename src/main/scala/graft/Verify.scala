@@ -17,6 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd `only` name must fail loudly, not silently run nothing and
+    // leave every stale output standing (round-5 self-review)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -24,6 +29,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        // DELETE any previous run's output for this query: outDir is
+        // reused for local iteration, and a failure thrown before
+        // mode("overwrite") clears the dir (e.g. an AnalysisException at
+        // plan time) would otherwise leave stale parquet that the DuckDB
+        // compare silently scores as current (round-5 self-review)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,5 +58,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit nonzero so a broken query cannot masquerade as a clean dump
+    // (outputs for the failed names were deleted above, so the DuckDB
+    // compare reports them missing rather than scoring stale parquet)
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

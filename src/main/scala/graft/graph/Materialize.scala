@@ -292,12 +292,27 @@ object Materialize {
     * runner; returns the final edge table. Resume-safe: stages already
     * complete in the warehouse are loaded, not recomputed.
     */
-  def runAll(spark: SparkSession, sfDir: String, warehouse: String): DataFrame = {
-    // input fingerprint: sf dir + source parquet size — a resumed run
-    // against different input must recompute, not load stale stages
+  def runAll(spark: SparkSession, sfDir: String, warehouse: String): DataFrame =
+    runAllReplicated(spark, sfDir, warehouse, rep = 1)
+
+  /** [[runAll]] over the rep-x replicated corpus (the scaling-bench shape).
+    * Keeps the fingerprint scheme and the per-rep warehouse subtree in one
+    * place: the input fingerprint is sf dir + source parquet size (+ rep) —
+    * a resumed run against different input must recompute, not load stale
+    * stages — and rep > 1 gets its own warehouse subtree (<wh>/rep<rep>)
+    * because stage OUTPUT paths are keyed by stage name only, so sharing a
+    * tree across reps would let a fingerprint-mismatched rerun overwrite
+    * parquet that an older fingerprint's checkpoint rows still claim.
+    */
+  def runAllReplicated(spark: SparkSession, sfDir: String,
+      warehouse: String, rep: Int): DataFrame = {
     val li = new java.io.File(s"$sfDir/lineitem.parquet")
-    runAllFrom(spark, Pipeline.textual(spark, sfDir), warehouse,
-      s"$sfDir#${li.length}")
+    if (rep <= 1)
+      runAllFrom(spark, Pipeline.textual(spark, sfDir), warehouse,
+        s"$sfDir#${li.length}")
+    else
+      runAllFrom(spark, Pipeline.textualReplicated(spark, sfDir, rep),
+        s"$warehouse/rep$rep", s"$sfDir#${li.length}#rep$rep")
   }
 
   /** [[runAll]] over an explicit textual-passage source — the rep-N

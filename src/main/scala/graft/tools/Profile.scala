@@ -24,8 +24,9 @@ object Profile {
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
 
-    // warm
-    Pipeline.triples(spark, "/root/testdata/sf0.001").count()
+    // warm against the profiled layout itself (a fixed warm-up path would
+    // crash on hosts without the driver's testdata tree)
+    Pipeline.triples(spark, sfDir).count()
 
     t("spanRows")(graft.ingest.DocsSynth.spanRows(spark, sfDir).count())
     t("docs")(Pipeline.docs(spark, sfDir).count())

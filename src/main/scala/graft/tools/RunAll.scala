@@ -34,12 +34,7 @@ object RunAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val li = new java.io.File(s"$sfDir/lineitem.parquet")
-    val edges =
-      if (rep <= 1) graft.graph.Materialize.runAll(spark, sfDir, wh)
-      else graft.graph.Materialize.runAllFrom(spark,
-        graft.Pipeline.textualReplicated(spark, sfDir, rep),
-        s"$wh/rep$rep", s"$sfDir#${li.length}#rep$rep")
+    val edges = graft.graph.Materialize.runAllReplicated(spark, sfDir, wh, rep)
     val n = edges.count()
     println(f"[runall] edges=$n rep=$rep wall=${(System.nanoTime() - t0) / 1e9}%.1fs warehouse=$wh")
     spark.stop()
