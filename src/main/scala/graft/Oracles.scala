@@ -569,7 +569,7 @@ object Oracles {
        |  SELECT 'year ' || ya, 'THIRD_AGE', doc_id, pos FROM syn WHERE m = 27
        |),
        |lived AS (
-       |  SELECT name, arg_min(era, doc_id || '#' || lpad(CAST(pos AS VARCHAR), 6, '0')) AS era
+       |  SELECT name, arg_min(era, doc_id || '#' || lpad(CAST(pos AS VARCHAR), 19, '0')) AS era
        |  FROM lived0
        |  WHERE lower(name) NOT IN (SELECT lower(name) FROM birth
        |                            UNION SELECT lower(name) FROM death)

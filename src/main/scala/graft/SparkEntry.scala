@@ -672,7 +672,7 @@ object SparkEntry {
          |      arg_min(year, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS y2,
          |      arg_min(descr, k) FILTER (${cond(c.a2, c.stem2, c.p2)}) AS d2
          |    FROM (SELECT *, ${eraOrdSql("era")} AS eord,
-         |            doc_id || '#' || lpad(CAST(pos AS VARCHAR), 6, '0') AS k,
+         |            doc_id || '#' || lpad(CAST(pos AS VARCHAR), 19, '0') AS k,
          |            regexp_replace(lower(patient), '^(the|a|an) ', '') AS pat,
          |            agent || ' ' || action || ' ' || patient AS descr
          |          FROM event_rows)))""".stripMargin
@@ -1581,8 +1581,8 @@ object SparkEntry {
         "SELECT node, cluster FROM l2"),
       "q10_cluster_registry" -> withClusters(
         """SELECT l2.cluster,
-          |       arg_min(er.text, er.doc_id || '#' || lpad(CAST(er.pos AS VARCHAR), 6, '0')
-          |               || '#' || lpad(CAST(er.start AS VARCHAR), 6, '0')) AS canonical_name,
+          |       arg_min(er.text, er.doc_id || '#' || lpad(CAST(er.pos AS VARCHAR), 19, '0')
+          |               || '#' || lpad(CAST(er.start AS VARCHAR), 19, '0')) AS canonical_name,
           |       count(DISTINCT l2.node) AS member_count,
           |       count(*) AS mention_count
           |FROM entity_rows er

@@ -121,7 +121,11 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter supersteps " +
-          s"(last changed=${metrics.last.changed}); raise maxIter")
+          // headOption-style guard: maxIter <= 0 reaches here with an empty
+          // metrics buffer, and metrics.last would mask this message with a
+          // NoSuchElementException (round-5 review)
+          metrics.lastOption.fold("")(m => s"(last changed=${m.changed}) ") +
+          "; raise maxIter")
     (labels, metrics.toSeq)
   }
 }

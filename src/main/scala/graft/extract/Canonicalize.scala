@@ -262,10 +262,14 @@ object Canonicalize {
       assignment: DataFrame): DataFrame = {
     val keyed = mentions
       .withColumn("node", Linker.cleanKey(col("text")))
+      // width 19 covers any Long: lpad TRUNCATES values wider than the
+      // pad, which at width 6 silently corrupted ordering (and collided
+      // distinct positions) past 10^6 passages/offsets — exactly the
+      // corpus scale this targets (round-5 review)
       .withColumn("seen_key",
         concat(col("doc_id"), lit("#"),
-          lpad(col("pos").cast("string"), 6, "0"), lit("#"),
-          lpad(col("start").cast("string"), 6, "0")))
+          lpad(col("pos").cast("string"), 19, "0"), lit("#"),
+          lpad(col("start").cast("string"), 19, "0")))
     keyed.join(assignment, Seq("node"))
       .groupBy(col("cluster"))
       .agg(

@@ -8,6 +8,9 @@ package graft.extract
   */
 final class LocalLinker(seeds: Seq[SeedEntity]) extends Serializable {
 
+  // aliasRows is already one-row-per-key (last registration wins, the
+  // reference's dict semantics), so this toMap cannot drop information —
+  // the join cascade builds from the SAME deduped rows
   private val index: Map[String, (String, String, String)] =
     Seeds.aliasRows(seeds).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   /** (firstChar, keys sorted) blocking for the fuzzy tier. */

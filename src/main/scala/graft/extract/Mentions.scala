@@ -79,14 +79,19 @@ object Mentions {
       var t = m.group(1)
       var start = m.start(1)
       var stripped = true
-      while (stripped && t.contains(' ')) {
-        val first = t.substring(0, t.indexOf(' '))
-        if (Lexicon.NonNames.contains(first.toLowerCase)) {
-          start += first.length + 1
-          t = t.substring(first.length + 1)
+      while (stripped) {
+        // the CapSpan separator is \s+ — advance past the WHOLE whitespace
+        // run (a fixed `+ 1` on "Then  Tom" would leave a leading space in
+        // the span and shift its start; round-5 review)
+        val ws = t.indexWhere(Character.isWhitespace)
+        if (ws > 0 && Lexicon.NonNames.contains(t.substring(0, ws).toLowerCase)) {
+          var adv = ws
+          while (adv < t.length && Character.isWhitespace(t.charAt(adv))) adv += 1
+          start += adv
+          t = t.substring(adv)
         } else stripped = false
       }
-      val single = !t.contains(' ')
+      val single = !t.exists(Character.isWhitespace)
       if (!(single && Lexicon.NonNames.contains(t.toLowerCase)))
         out += Raw(t, start, start + t.length, "UNKNOWN", "heuristic", 0.7)
     }
@@ -104,7 +109,19 @@ object Mentions {
     //    occurrences. One Aho-Corasick pass: linear in text length, NOT in
     //    the alias count — the per-alias indexOf loop was the one stage
     //    that degraded linearly with registry size (VERDICT r02 #3).
-    val lower = text.toLowerCase
+    // length-PRESERVING per-char lowercase: String.toLowerCase can change
+    // the string length (e.g. U+0130 'İ' expands to two chars), which
+    // would shift every subsequent hit offset relative to `text` and can
+    // push endIdx past text.length (round-5 review). Character-level
+    // lowercasing never changes length.
+    val lower = {
+      val cs = new Array[Char](text.length)
+      var i = 0
+      while (i < text.length) {
+        cs(i) = Character.toLowerCase(text.charAt(i)); i += 1
+      }
+      new String(cs)
+    }
     gazetteer.hits(lower).foreach { case (pi, idx) =>
       val (name, etype) = gazetteer.entries(pi)
       val endIdx = idx + name.length

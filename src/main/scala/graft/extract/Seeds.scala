@@ -30,12 +30,23 @@ object Seeds {
 
   /** Exploded lookup rows: (akey = lowercase name-or-alias, id, type, name).
     * This is the broadcast build side of every linking join.
+    *
+    * ONE row per alias key, last registration wins — the reference's alias
+    * index is a dict built in registry order (resolver.py:60-70:
+    * `_alias_to_id[alias_lower] = entity.id` overwrites), so when two
+    * seeds share an alias the later seed owns the key. Deduping HERE keeps
+    * the three lookup surfaces (Linker's joins, LocalLinker's map, the
+    * mention Gazetteer) on identical semantics — an un-deduped build side
+    * would emit one JOIN ROW per colliding seed and silently duplicate
+    * mentions downstream (round-5 review).
     */
-  def aliasRows(seeds: Seq[SeedEntity]): Seq[(String, String, String, String)] =
-    seeds.flatMap { e =>
+  def aliasRows(seeds: Seq[SeedEntity]): Seq[(String, String, String, String)] = {
+    val rows = seeds.flatMap { e =>
       (e.canonicalName +: e.aliases).map(n =>
         (n.toLowerCase, e.id, e.entityType, e.canonicalName))
-    }.distinct
+    }
+    rows.reverse.distinctBy(_._1).reverse
+  }
 
   /** Schema of the reference seed JSON files (characters/places/objects.json,
     * /root/reference/data/seeds). Only the fields the resolver uses.

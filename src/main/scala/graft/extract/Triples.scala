@@ -119,8 +119,37 @@ object Triples {
     mentionNps.foreach(nps += _)
     val dm = DetChunk.matcher(text)
     while (dm.find()) {
-      val overlapsMention = mentionNps.exists(m => !(dm.end <= m.start || dm.start >= m.end))
-      if (!overlapsMention) nps += Np(dm.group(0), dm.start, dm.end, fromMention = false)
+      // the greedy two-word group would swallow a following lexicon verb
+      // into the NP ("The dragon attacked Smaug" -> chunk "The dragon
+      // attacked", leaving no NP ending before the verb and dropping the
+      // triple). Trim trailing lexicon-verb words — the same
+      // disqualification DetPrefix applies (a dependency parse attaches
+      // them as the predicate, not part of the noun chunk); round-5 review.
+      val words = dm.group(2).split("\\s+").toSeq
+      val trimmed = words.reverse
+        .dropWhile(w => Lexicon.VerbToRelationship.contains(w.toLowerCase))
+        .reverse
+      // keep the head noun when a trailing verb was swallowed; a chunk
+      // whose ONLY word is a lexicon verb stays whole — "the attacked
+      // Smaug" reads the verb as a participle modifier, the documented
+      // widening-gate compromise (TriplesSpec)
+      val kept = if (trimmed.nonEmpty) trimmed else words
+      val chunkEnd =
+        if (kept.length == words.length) dm.end
+        else {
+          val g2 = dm.group(2)
+          var e = 0
+          kept.foreach { w =>
+            while (e < g2.length && Character.isWhitespace(g2.charAt(e))) e += 1
+            e += w.length
+          }
+          dm.start(2) + e
+        }
+      val overlapsMention = mentionNps.exists(m =>
+        !(chunkEnd <= m.start || dm.start >= m.end))
+      if (!overlapsMention)
+        nps += Np(text.substring(dm.start, chunkEnd), dm.start, chunkEnd,
+          fromMention = false)
     }
     val sortedNps = nps.sortBy(_.start).toSeq
 

@@ -214,7 +214,7 @@ object Materialize {
     */
   def eventVertices(events: DataFrame): DataFrame = {
     val seen = concat(col("doc_id"), lit("#"),
-      lpad(col("pos").cast("string"), 6, "0"))
+      lpad(col("pos").cast("string"), 19, "0"))
     events
       .groupBy(col("event_id").as("id"))
       .agg(

@@ -444,7 +444,7 @@ object Checker {
         col("c_patient").contains(evPatient)),
       "left")
     val seen = concat(col("doc_id"), lit("#"),
-      lpad(col("pos").cast("string"), 6, "0"))
+      lpad(col("pos").cast("string"), 19, "0"))
     val descr = concat_ws(" ", col("agent"), col("action"), col("patient"))
     val firsts = matched.groupBy("claim", "side")
       .agg(count(col("event_id")).as("matches"),

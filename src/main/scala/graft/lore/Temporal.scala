@@ -110,7 +110,7 @@ object Temporal {
     val f = facts(spark, passages)
       .withColumn("seen",
         concat(col("doc_id"), lit("#"),
-          lpad(col("pos").cast("string"), 6, "0")))
+          lpad(col("pos").cast("string"), 19, "0")))
       .withColumn("lname", lower(col("name")))
     val birth = f.filter(col("kind") === "birth")
       .groupBy("lname")

@@ -42,12 +42,20 @@ object Similarity {
         nb += y * y
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     })
 
   /** Tight-loop double cosine over primitive float arrays — the kernel
     * shared by the mapPartitions paths below. Accumulation order matches
     * the DuckDB oracle (left-to-right double fold).
+    *
+    * A zero-norm side (empty or all-zero vector) is DEFINED as cosine 0,
+    * not NaN: Spark orders NaN above every real double, so a NaN row
+    * would silently become the rank-1 neighbor of every query in the
+    * top-k windows (round-5 review). The embeddings contract keeps such
+    * rows out of the oracle-checked corpus, so the DuckDB oracle
+    * (list_cosine_similarity) never evaluates one.
     */
   def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0
@@ -63,7 +71,8 @@ object Similarity {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Index of the max-cosine centroid for `emb` (IVF cell assignment). */
@@ -284,19 +293,6 @@ object Similarity {
       }.toDF("vid", "emb", "band", "bucket")
   }
 
-  /** Single-band SRP bucket id as a column expression (kept for callers
-    * that bucket small dimensions; large dim x bits use [[bandedBuckets]]).
-    */
-  def srpBucket(emb: Column, dim: Int, bits: Int, planeOffset: Int = 0): Column = {
-    val ps = planes(dim, bits, planeOffset)
-    (0 until bits).map { p =>
-      val proj = (0 until dim).map(j =>
-        element_at(emb, j + 1).cast("double") * lit(ps(p)(j)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   /** IVF (inverted-file) approximate top-k — the second scale path next
     * to [[lshTopK]]: a coarse quantizer assigns every vector to one of
     * `nlist` cells, and a query exact-reranks only its `nprobe` nearest
@@ -333,14 +329,18 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
 
-    // deterministic init: the nlist SMALLEST vec_ids (orderBy + limit, not
-    // a `vec_id < nlist` filter — sparse/offset id spaces would otherwise
-    // collect nothing and silently return an empty result for a non-empty
-    // table). Sparse ids clamp nlist to the vectors actually present, and
-    // an empty/embedding-less table returns an empty result instead of
-    // throwing inside the assignment kernel (ADVICE r03 + round-4 review).
+    // deterministic init: the nlist SMALLEST vec_ids among rows with a
+    // non-empty embedding (orderBy + limit, not a `vec_id < nlist` filter —
+    // sparse/offset id spaces would otherwise collect nothing and silently
+    // return an empty result for a non-empty table; filtering empties
+    // BEFORE the limit so a cluster of embedding-less rows at the low ids
+    // cannot starve the seed set while the rest of the table is
+    // searchable). An entirely embedding-less table returns an empty
+    // result instead of throwing inside the assignment kernel
+    // (ADVICE r03 + round-4/5 reviews).
     var centroids: Array[Array[Float]] =
-      vecs.orderBy("vec_id").limit(nlist).collect().map(_._2).filter(_.nonEmpty)
+      vecs.filter(size(col("embedding")) > 0)
+        .orderBy("vec_id").limit(nlist).collect().map(_._2)
     if (centroids.isEmpty)
       return Seq.empty[(Long, Int, Long)]
         .toDF("query_id", "rank", "neighbor_id")

@@ -245,7 +245,7 @@ object WorldBible {
           .when(Seq("can", "able", "power")
             .map(w => col("lw").contains(w)).reduce(_ || _), "ability"))
       .withColumn("seen", concat(col("doc_id"), lit("#"),
-        lpad(col("pos").cast("string"), 6, "0")))
+        lpad(col("pos").cast("string"), 19, "0")))
       .withColumn("t", substring(col("text"), 1, 100))
     rows.agg(
         slice(array_sort(collect_list(when(col("kind") === "ability",

@@ -50,7 +50,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm side => 0, not NaN (NaN sorts above every real value in
+    // Spark and would hijack rank 1 of every top-k window); mirrors
+    // Similarity.cosine / cosineKernel
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,7 +78,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $na += $xv * $xv;
          |  $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -131,6 +131,16 @@ class CanonicalizeSpec extends SparkSpec {
     }
   }
 
+  test("connected components: maxIter <= 0 raises the diagnostic, not NoSuchElement (round-5 review)") {
+    import spark.implicits._
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, nodes, edges, maxIter = 0)
+    }
+    assert(e.getMessage.contains("raise maxIter"))
+  }
+
   test("connected components: empty node set converges to empty assignment") {
     import spark.implicits._
     val empty = Seq.empty[(String, String)].toDF("src", "dst")

@@ -103,6 +103,31 @@ class LinkerSpec extends SparkSpec {
     }
   }
 
+  test("shared alias key: last registration wins, join emits ONE row (round-5 review)") {
+    import spark.implicits._
+    // reference semantics: the alias index is a dict built in registry
+    // order (resolver.py:60-70), so a key shared by two seeds belongs to
+    // the LATER seed. The join build side must carry one row per key or
+    // every mention of the alias duplicates downstream.
+    val colliding = Seq(
+      SeedEntity("strider", "Strider", Seq("the Ranger"), "character"),
+      SeedEntity("aragorn", "Aragorn", Seq("Strider", "the Ranger"), "character"))
+    val rows = Seeds.aliasRows(colliding)
+    assert(rows.map(_._1).distinct.size == rows.size, "one row per alias key")
+    assert(rows.find(_._1 == "strider").get._2 == "aragorn")
+    assert(rows.find(_._1 == "the ranger").get._2 == "aragorn")
+
+    val m = Seq(("d", 0, "p", "Strider", 0, 7, "PERSON", "heuristic", 0.7))
+      .toDF("doc_id", "pos", "passage_id", "text", "start", "end",
+        "label", "source", "confidence")
+    val linked = Linker.link(spark, m, colliding)
+      .select("text", "canonical_id").collect()
+    assert(linked.length == 1, "no row duplication on a colliding key")
+    assert(linked(0).getString(1) == "aragorn")
+    assert(new LocalLinker(colliding).lookup("Strider").map(_._1)
+      .contains("aragorn"), "LocalLinker agrees")
+  }
+
   test("synthetic lexicon is fuzzy-safe: unique best match for every typo") {
     val rows = Seeds.aliasRows(Seeds.default)
     graft.Lexicon.Chars.foreach { name =>

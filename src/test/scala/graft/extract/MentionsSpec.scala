@@ -62,4 +62,27 @@ class MentionsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("stoplist strip advances past a multi-space separator (round-5 review)") {
+    // a fixed `+ 1` advance on "Then  Tom" left a leading space in the
+    // span and shifted start by one, letting the malformed heuristic span
+    // beat the typed gazetteer hit in dedup
+    val found = Mentions.detect("Then  Tom sang.", Seq(("tom", "character")))
+    val tom = found.find(_.text == "Tom").get
+    assert(tom.start == 6 && tom.end == 9)
+    assert(tom.source == "gazetteer" && tom.label == "PERSON")
+    assert(!found.exists(_.text.startsWith(" ")))
+  }
+
+  test("gazetteer offsets survive length-changing lowercase chars (round-5 review)") {
+    // U+0130 ('İ') expands to two chars under String.toLowerCase; the scan
+    // must use a length-preserving lowercase or every later offset shifts
+    // (and a name at the end of the passage crashed on substring)
+    val text = "İstanbul knew Gandalf"
+    val found = Mentions.detect(text, Seq(("gandalf", "character")))
+    val g = found.find(_.source == "gazetteer").get
+    assert(g.text == "Gandalf")
+    assert(text.substring(g.start, g.end) == "Gandalf")
+    assert(g.end == text.length)
+  }
 }

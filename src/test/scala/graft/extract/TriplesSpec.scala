@@ -113,4 +113,18 @@ class TriplesSpec extends AnyFunSuite {
     assert(helped._4 == "the attacked") // plain det-chunk, not widened NP
     assert(helped._5.isEmpty)
   }
+
+  test("det-chunk does not swallow a following lexicon verb (round-5 review)") {
+    // the greedy two-word group matched "The dragon attacked", leaving no
+    // NP ending before the verb and silently dropping the triple; the
+    // chunk must trim back to "The dragon" (mirroring the DetPrefix
+    // lexicon-verb disqualification)
+    val out = Triples.extract(
+      "The dragon attacked Smaug.",
+      Seq(arg("Smaug", 20, Some("smaug"), "character")))
+    val fought = out.find(_._2 == "FOUGHT_AGAINST")
+    assert(fought.isDefined, out.toString)
+    assert(fought.get._1 == "The dragon")
+    assert(fought.get._5.flatMap(_.id).contains("smaug"))
+  }
 }

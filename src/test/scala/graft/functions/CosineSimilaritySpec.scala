@@ -43,6 +43,30 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("zero-norm side is cosine 0, not NaN, in all three implementations") {
+    import spark.implicits._
+    // NaN would sort ABOVE every real value in a top-k window and hijack
+    // rank 1 (round-5 review); the defined value must agree across the
+    // native expression (interpreted + codegen), the UDF reference, and
+    // the mapPartitions kernel
+    val cases = Seq(
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)),
+      (Seq.empty[Float], Seq(1f, 2f)),
+      (Seq(0f, 0f), Seq(0f, 0f)))
+    val rows = cases.toDF("a", "b").select(
+      GraftFunctions.cosine(col("a"), col("b")).as("native"),
+      graft.ml.Similarity.cosine(col("a"), col("b")).as("udf"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == 0.0, "native")
+      assert(r.getDouble(1) == 0.0, "udf")
+    }
+    cases.foreach { case (a, b) =>
+      assert(graft.ml.Similarity.cosineKernel(a.toArray, b.toArray) == 0.0)
+    }
+  }
+
   test("SQL registration: graft_cosine callable from spark.sql") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -35,6 +35,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._1).toSeq == Seq(1, 2, 3))
   }
 
+  test("zero-norm rows cannot hijack rank 1 of the top-k (round-5 review)") {
+    // a NaN cosine would sort ABOVE every real value in the ranking
+    // window; with the zero-norm guard the garbage rows score 0 and the
+    // true neighbor keeps rank 1
+    val e = emb(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f), // true nearest to 0
+      2L -> Seq(0f, 0f, 0f), // all-zero
+      3L -> Seq.empty[Float], // empty
+      4L -> Seq(0.5f, 0.5f, 0f))
+    val top = Similarity.bruteForceTopK(e, numQueries = 1, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.head == ((1, 1L)), top.mkString(","))
+    assert(top(1) == ((2, 4L)), top.mkString(","))
+    // IVF with nprobe = nlist must stay byte-identical on the same input
+    val ivf = Similarity.ivfTopK(e, numQueries = 1, k = 2,
+      nlist = 2, nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(ivf.toSeq == top.toSeq)
+  }
+
   test("LSH top-k: same-bucket neighbors are exact-reranked") {
     // near-identical vectors land in the same SRP bucket
     val e = emb(
