@@ -125,26 +125,34 @@ object Triples {
       // triple). Trim trailing lexicon-verb words — the same
       // disqualification DetPrefix applies (a dependency parse attaches
       // them as the predicate, not part of the noun chunk); round-5 review.
-      val words = dm.group(2).split("\\s+").toSeq
-      val trimmed = words.reverse
-        .dropWhile(w => Lexicon.VerbToRelationship.contains(w.toLowerCase))
-        .reverse
-      // keep the head noun when a trailing verb was swallowed; a chunk
-      // whose ONLY word is a lexicon verb stays whole — "the attacked
-      // Smaug" reads the verb as a participle modifier, the documented
-      // widening-gate compromise (TriplesSpec)
-      val kept = if (trimmed.nonEmpty) trimmed else words
-      val chunkEnd =
-        if (kept.length == words.length) dm.end
+      // Index walk, not split(): this runs once per det-chunk in the
+      // extraction hot loop, and a split("\\s+") here recompiled the
+      // pattern and allocated a word array per chunk — measured as 16%
+      // GC wall on the 16-core bench leg. The common no-trailing-verb
+      // case now allocates one small substring (the set lookup key).
+      // A chunk whose words are ALL lexicon verbs stays whole — "the
+      // attacked Smaug" reads the verb as a participle modifier, the
+      // documented widening-gate compromise (TriplesSpec).
+      val g2s = dm.start(2)
+      var end = dm.end
+      var trimmedAny = false
+      var done = false
+      while (!done) {
+        var we = end
+        while (we > g2s && Character.isWhitespace(text.charAt(we - 1))) we -= 1
+        if (we == g2s) { end = dm.end; done = true } // every word was a verb
         else {
-          val g2 = dm.group(2)
-          var e = 0
-          kept.foreach { w =>
-            while (e < g2.length && Character.isWhitespace(g2.charAt(e))) e += 1
-            e += w.length
+          var ws = we
+          while (ws > g2s && !Character.isWhitespace(text.charAt(ws - 1))) ws -= 1
+          if (Lexicon.VerbToRelationship.contains(text.substring(ws, we).toLowerCase)) {
+            end = ws; trimmedAny = true
+          } else {
+            end = if (trimmedAny) we else dm.end
+            done = true
           }
-          dm.start(2) + e
         }
+      }
+      val chunkEnd = end
       val overlapsMention = mentionNps.exists(m =>
         !(chunkEnd <= m.start || dm.start >= m.end))
       if (!overlapsMention)
