@@ -345,6 +345,12 @@ object SparkEntry {
     "Bilbo might have visited Esgaroth",
     "Gandalf possibly met Bilbo",
     "Gandalf met Bilbo, probably",
+    // subject-less temporal: the time pattern fires but no leading
+    // capitalized run exists, so the parse carries no subject — the
+    // reference's _check_temporal returns its initialized UNKNOWN result
+    // (checker.py:634-637); previously this claim produced NO verdict row
+    // (round-5 review)
+    "the elves of the Second Age",
     // unparseable -> general rules fallback
     "Perhaps beyond the misty mountains")
 
@@ -462,6 +468,9 @@ object SparkEntry {
     // the unmarked claim's — demonstrated as an oracle row
     OracleClaim("Gandalf met Bilbo, probably", "relationship",
       subj = "gandalf", et = "INTERACTED_WITH", obj = "bilbo"),
+    // TEMPORAL with no subject (no leading capitalized run): the verdict
+    // is the checker's initialized UNKNOWN result, statically
+    OracleClaim("the elves of the Second Age", "temporal"),
     OracleClaim("Perhaps beyond the misty mountains", "unknown"))
 
   private def sq(s: String): String = s.replace("'", "''")
@@ -582,6 +591,10 @@ object SparkEntry {
          |  CAST(ev AS BIGINT), CAST(NULL AS VARCHAR),
          |  CASE WHEN ev > 0 THEN 0.8 ELSE 0.0 END
          |FROM (SELECT $ev AS ev)""".stripMargin
+    case "temporal" if c.subj == null =>
+      // subject-less parse: checker returns the initialized UNKNOWN result
+      s"""SELECT '${sq(c.text)}', 'temporal', 'UNKNOWN',
+         |  CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), 0.0""".stripMargin
     case "temporal" =>
       s"""SELECT '${sq(c.text)}', 'temporal',
          |  CASE WHEN cnt = 0 THEN 'UNKNOWN'

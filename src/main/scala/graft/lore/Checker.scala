@@ -99,6 +99,24 @@ object Checker {
     Pattern.CASE_INSENSITIVE)
   private val LeadingName = Pattern.compile(
     """^([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""")
+  // precompiled once like the patterns above — parse() runs per claim and
+  // previously recompiled the whole cascade (32 verb patterns + 4 shape
+  // patterns) on every call (round-5 review)
+  private val VerbPatterns: Seq[(String, Pattern)] =
+    RelationshipVerbs.map { verb =>
+      verb -> Pattern.compile(
+        s"""(\\w+(?:\\s+\\w+)?)\\s+${Pattern.quote(verb)}\\s+(\\w+(?:\\s+\\w+)?)""",
+        Pattern.CASE_INSENSITIVE)
+    }
+  private val IsAPattern = Pattern.compile(
+    """(\w+(?:\s+\w+)?)\s+is\s+(?:a|an)\s+(\w+)""", Pattern.CASE_INSENSITIVE)
+  private val LocPattern = Pattern.compile(
+    """(\w+(?:\s+\w+)?)\s+is\s+(?:in|at|near)\s+(?:the\s+)?(\w+(?:\s+\w+)?)""",
+    Pattern.CASE_INSENSITIVE)
+  private val AttrPattern = Pattern.compile(
+    """(\w+(?:\s+\w+)?)\s+(?:is|was)\s+(\w+)""", Pattern.CASE_INSENSITIVE)
+  private val CapPattern = Pattern.compile(
+    """(\w+(?:\s+\w+)?)\s+can\s+(\w+(?:\s+\w+)?)""", Pattern.CASE_INSENSITIVE)
 
   /** ClaimParser.parse (Q1, parser.py:136-250), deterministic path. */
   def parse(text: String): ParsedClaim = {
@@ -122,10 +140,7 @@ object Checker {
         event2Patient = Some(em.group(3)))
 
     // relationship verbs (first matching verb in list order wins)
-    RelationshipVerbs.foreach { verb =>
-      val p = Pattern.compile(
-        s"""(\\w+(?:\\s+\\w+)?)\\s+${Pattern.quote(verb)}\\s+(\\w+(?:\\s+\\w+)?)""",
-        Pattern.CASE_INSENSITIVE)
+    VerbPatterns.foreach { case (verb, p) =>
       val m = p.matcher(text)
       if (m.find())
         return base.copy(claimType = "RELATIONSHIP",
@@ -134,33 +149,28 @@ object Checker {
     }
 
     // "is a" -> entity type
-    val isA = Pattern.compile("""(\w+(?:\s+\w+)?)\s+is\s+(?:a|an)\s+(\w+)""",
-      Pattern.CASE_INSENSITIVE).matcher(text)
+    val isA = IsAPattern.matcher(text)
     if (isA.find())
       return base.copy(claimType = "ENTITY_EXISTS",
         subject = Some(isA.group(1).trim), attribute = Some("type"),
         value = Some(isA.group(2).trim))
 
     // location — tried before the is/was-attribute pattern (see object doc)
-    val loc = Pattern.compile(
-      """(\w+(?:\s+\w+)?)\s+is\s+(?:in|at|near)\s+(?:the\s+)?(\w+(?:\s+\w+)?)""",
-      Pattern.CASE_INSENSITIVE).matcher(text)
+    val loc = LocPattern.matcher(text)
     if (loc.find())
       return base.copy(claimType = "LOCATION",
         subject = Some(loc.group(1).trim), predicate = Some("located_in"),
         obj = Some(loc.group(2).trim))
 
     // "is/was <adjective>"
-    val attr = Pattern.compile("""(\w+(?:\s+\w+)?)\s+(?:is|was)\s+(\w+)""",
-      Pattern.CASE_INSENSITIVE).matcher(text)
+    val attr = AttrPattern.matcher(text)
     if (attr.find())
       return base.copy(claimType = "ATTRIBUTE",
         subject = Some(attr.group(1).trim), attribute = Some("description"),
         value = Some(attr.group(2).trim))
 
     // capability
-    val cap = Pattern.compile("""(\w+(?:\s+\w+)?)\s+can\s+(\w+(?:\s+\w+)?)""",
-      Pattern.CASE_INSENSITIVE).matcher(text)
+    val cap = CapPattern.matcher(text)
     if (cap.find())
       return base.copy(claimType = "CAPABILITY",
         subject = Some(cap.group(1).trim), attribute = Some("capability"),
@@ -326,9 +336,17 @@ object Checker {
       claims: Seq[ParsedClaim],
       timeline: DataFrame): DataFrame = {
     import spark.implicits._
-    val tem = claims.filter(c => c.claimType == "TEMPORAL" &&
-      c.subject.isDefined && c.timePeriod.isDefined)
-    if (tem.isEmpty) return emptyOut(spark)
+    val (tem, unparsed) = claims.filter(_.claimType == "TEMPORAL")
+      .partition(c => c.subject.isDefined && c.timePeriod.isDefined)
+    // reference _check_temporal (checker.py:634-637) returns the
+    // initialized UNKNOWN result when subject/time_period are missing —
+    // every claim still gets a verdict row (round-5 review: these claims
+    // previously vanished from the output instead)
+    val unparsedRows =
+      if (unparsed.isEmpty) emptyOut(spark)
+      else unparsed.map(c => (c.original, "temporal", "UNKNOWN", 0L,
+        null.asInstanceOf[String], 0.0)).toDF(OutCols: _*)
+    if (tem.isEmpty) return unparsedRows
     val cdf = tem.map { c =>
       (c.original, c.subject.get.toLowerCase,
         Temporal.eraFromText(c.timePeriod.get).getOrElse("UNKNOWN"))
@@ -356,6 +374,7 @@ object Checker {
         lit(null).cast("string").as("suggestion"))
       .withColumn("confidence", fixedConfidence(
         "VALID" -> 0.9, "INVALID" -> 0.9))
+      .unionByName(unparsedRows)
   }
 
   /** Q9 capability check (checker.py:712-730): PLAUSIBLE on any rule

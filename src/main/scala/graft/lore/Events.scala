@@ -47,10 +47,15 @@ object Events {
     case _ => None
   }
 
-  /** Era ordering (lore/temporal.py:17-64). */
-  val EraOrder: Map[String, Int] = Map(
-    "BEFORE_TIME" -> 0, "FIRST_AGE" -> 1, "SECOND_AGE" -> 2,
-    "THIRD_AGE" -> 3, "FOURTH_AGE" -> 4)
+  /** Era ordering — the single source of truth is [[Temporal.EraOrder]]
+    * (lore/temporal.py:47-58); only relative order is ever used here
+    * (window sort keys and comparisons, never emitted values), so sharing
+    * the full map keeps Events and Checker ordering the same era strings
+    * identically (round-5 review: the previous local copy omitted
+    * YEARS_OF_TREES and would silently disagree if a new era became
+    * reachable).
+    */
+  def EraOrder: Map[String, Int] = Temporal.EraOrder
 
   /** extract_year (E6): first pattern with a match. */
   private[lore] def extractYear(text: String): (Option[Int], Option[String]) = {
@@ -61,8 +66,15 @@ object Events {
         var era: Option[String] = None
         (1 to m.groupCount).foreach { i =>
           Option(m.group(i)).foreach { g =>
-            if (g.forall(_.isDigit)) year = Some(g.toInt)
-            else if (era.isEmpty) era = eraOf(g)
+            // Int-range guard: the reference's Python int is unbounded, but
+            // the year column is an Int — an adversarial passage like
+            // "12345678901 of the Third Age" must not throw
+            // NumberFormatException inside the extraction mapPartitions and
+            // kill the job (round-5 review). Out-of-range digit runs are
+            // treated as no year; domain years are 1-4 digits.
+            if (g.forall(_.isDigit)) {
+              if (g.length <= 9) year = Some(g.toInt)
+            } else if (era.isEmpty) era = eraOf(g)
           }
         }
         return (year, era)

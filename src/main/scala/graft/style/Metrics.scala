@@ -119,7 +119,11 @@ object Metrics {
     counts.agg(
       sum(col("cnt")).as("total_words"),
       count(lit(1)).as("unique_words"),
-      round(count(lit(1)).cast("double") / sum(col("cnt")), 6).as("ttr"),
+      // explicit floor form, not Spark round(): same cross-engine
+      // near-tie policy as readability/floor4 above, kept at this
+      // function's 6-decimal precision
+      (floor(count(lit(1)).cast("double") / sum(col("cnt")) * 1000000
+        + lit(0.5)) / 1000000.0).as("ttr"),
       sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
   }
 }

@@ -222,6 +222,17 @@ object WorldBible {
     */
   def magicPassages(spark: SparkSession, passages: DataFrame,
       cats: Option[DataFrame] = None): DataFrame =
+    magicKinds(spark, passages, cats)
+      .filter(col("kind").isNotNull)
+      .select("doc_id", "pos", "kind")
+
+  /** Shared limitation/ability classification over magic-categorized
+    * passages — single definition for [[magicPassages]] and
+    * [[magicSystem]] (round-5 review: the when-chain was duplicated
+    * verbatim and could silently diverge). Null kind = source-only row.
+    */
+  private def magicKinds(spark: SparkSession, passages: DataFrame,
+      cats: Option[DataFrame]): DataFrame =
     categorized(spark, passages, "magic", cats)
       .withColumn("lw", lower(col("text")))
       .withColumn("kind",
@@ -229,21 +240,15 @@ object WorldBible {
           "limitation")
           .when(Seq("can", "able", "power")
             .map(w => col("lw").contains(w)).reduce(_ || _), "ability"))
-      .filter(col("kind").isNotNull)
-      .select("doc_id", "pos", "kind")
 
   /** The reference's single assembled MagicSystem row: first-5 ability and
     * limitation texts in (doc_id, pos) order, 100-char truncated
-    * (extractor.py:368-381).
+    * (extractor.py:368-381). `cats` shares a classify pass like the rest
+    * of the W-family.
     */
-  def magicSystem(spark: SparkSession, passages: DataFrame): DataFrame = {
-    val rows = categorized(spark, passages, "magic")
-      .withColumn("lw", lower(col("text")))
-      .withColumn("kind",
-        when(col("lw").contains("cannot") || col("lw").contains("forbidden"),
-          "limitation")
-          .when(Seq("can", "able", "power")
-            .map(w => col("lw").contains(w)).reduce(_ || _), "ability"))
+  def magicSystem(spark: SparkSession, passages: DataFrame,
+      cats: Option[DataFrame] = None): DataFrame = {
+    val rows = magicKinds(spark, passages, cats)
       .withColumn("seen", concat(col("doc_id"), lit("#"),
         lpad(col("pos").cast("string"), 19, "0")))
       .withColumn("t", substring(col("text"), 1, 100))

@@ -90,6 +90,11 @@ class CheckerSpec extends AnyFunSuite {
         case "entity_exists" | "attribute" | "capability" =>
           assert(c.subject.map(_.toLowerCase).contains(oc.subj), oc.text)
           assert(c.value.map(_.toLowerCase).contains(oc.value), oc.text)
+        case "temporal" if oc.subj == null =>
+          // subject-less parse (no leading capitalized run): the oracle
+          // branch is a static UNKNOWN row, no era/subject to compare
+          assert(c.subject.isEmpty, oc.text)
+          assert(c.timePeriod.isDefined, oc.text)
         case "temporal" =>
           assert(c.subject.map(_.toLowerCase).contains(oc.subj), oc.text)
           val ord = Temporal.EraOrder(

@@ -28,6 +28,16 @@ class EventsSpec extends SparkSpec {
     assert(Events.extractYear("no dates here") == ((None, None)))
   }
 
+  test("year extraction: Int-overflow digit runs are no-year, not a crash") {
+    // the reference's Python int is unbounded; an adversarial passage must
+    // not throw NumberFormatException inside the extraction mapPartitions
+    assert(Events.extractYear("in the year 12345678901 of the Third Age") ==
+      ((None, Some("THIRD_AGE"))))
+    // 9-digit years still parse (boundary of the guard)
+    assert(Events.extractYear("in the year 999999999 of the Third Age") ==
+      ((Some(999999999), Some("THIRD_AGE"))))
+  }
+
   test("alive_during tri-state (E11, lore/temporal.py:86-110)") {
     assert(Events.aliveDuring(Some("FIRST_AGE"), Some("THIRD_AGE"), "SECOND_AGE")
       .contains(true))

@@ -81,4 +81,20 @@ class TemporalSpec extends SparkSpec {
     assert(out("Turin during the First Age") == "INVALID")
     assert(out("Nobody during the First Age") == "UNKNOWN")
   }
+
+  test("subject-less temporal claim still gets an UNKNOWN verdict row") {
+    // _check_temporal returns its initialized UNKNOWN result when the
+    // deterministic parse carries no subject (checker.py:634-637); the
+    // claim must not vanish from the output (round-5 review)
+    import spark.implicits._
+    val timeline = Seq(("Turin", "SECOND_AGE", "THIRD_AGE"))
+      .toDF("name", "birth_era", "death_era")
+    val c = Checker.parse("the elves of the Second Age")
+    assert(c.claimType == "TEMPORAL" && c.subject.isEmpty)
+    val rows = Checker.checkTemporal(spark, Seq(c), timeline).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(2) == "UNKNOWN")
+    assert(rows(0).getLong(3) == 0L)
+    assert(rows(0).getDouble(5) == 0.0)
+  }
 }
