@@ -499,14 +499,23 @@ object Oracles {
        |)""".stripMargin
 
   /** Vertex table derived from entity_rows (the q32/q48 oracles' view of
-    * Pipeline.vertices): id = canonical id or new_<slug>, label = type.
+    * Pipeline.vertices): id = canonical id or new_<slug>, label = type,
+    * cname = lowercased canonical name (for the q48 containment match,
+    * writer.py:771-772). For linked rows the registry display name lowers
+    * to the canonical id by construction (Seeds: id =
+    * lowercase(canonical_name)), so canonical_id is its exact surrogate;
+    * new rows take min over the raw mention texts like
+    * Pipeline.vertices' min(coalesce(canonical_name, text)).
     */
   val vertexRowsCte: String =
     """vertex_rows AS (
-      |  SELECT DISTINCT coalesce(canonical_id,
+      |  SELECT coalesce(canonical_id,
       |      'new_' || regexp_replace(lower(trim(text)), '[^a-z0-9]+', '_', 'g')) AS id,
-      |    entity_type AS label
+      |    entity_type AS label,
+      |    lower(min(CASE WHEN canonical_id IS NOT NULL
+      |                   THEN canonical_id ELSE text END)) AS cname
       |  FROM entity_rows
+      |  GROUP BY 1, 2
       |)""".stripMargin
 
   /** Corpus-level distinct world rules (the lore checker's rule cache,

@@ -135,29 +135,20 @@ object Pipeline {
     * expressed as one hash aggregate with map-side partial aggregation.
     */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    triples(spark, sfDir)
-      .filter(col("subject_id").isNotNull && col("object_id").isNotNull)
-      .groupBy(
-        col("subject_id").as("src"),
-        col("object_id").as("dst"),
-        col("predicate").as("type"))
+    graft.graph.Materialize.edgeGroups(triples(spark, sfDir))
       .agg(
         count(lit(1)).as("mention_count"),
         countDistinct(col("passage_id")).as("num_passages"))
 
   /** Vertex table from linked mentions (graph/writer.py:41-133): one row
-    * per canonical entity (or slugged new entity), mention_count aggregated.
+    * per canonical entity (or slugged new entity), mention_count
+    * aggregated. Shares [[graft.graph.Materialize.vertexDelta]] — one
+    * definition of what a vertex is (id scheme, grouping, name pick) for
+    * the query path and the materialization path (round-5 review).
     */
-  def vertices(spark: SparkSession, sfDir: String): DataFrame = {
-    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
-    linked(spark, sfDir)
-      .withColumn("vid",
-        coalesce(col("canonical_id"), concat(lit("new_"), slug)))
-      .groupBy(col("vid").as("id"), col("entity_type").as("label"))
-      .agg(
-        count(lit(1)).as("mention_count"),
-        min(coalesce(col("canonical_name"), col("text"))).as("canonical_name"))
-  }
+  def vertices(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Materialize.vertexDelta(linked(spark, sfDir))
+      .drop("first_seen_doc")
 
   /** Replicated triple pipeline for scaling measurements: the textual
     * passages are replicated `rep` times (doc ids suffixed), producing

@@ -198,7 +198,7 @@ object SparkEntry {
     "q48_event_links" -> ((s, dir) =>
       graft.graph.Materialize.eventEntityLinks(
         graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF(),
-        Pipeline.vertices(s, dir).select("id", "label"))),
+        Pipeline.vertices(s, dir).select("id", "label", "canonical_name"))),
     "q49_fingerprint" -> ((s, dir) =>
       graft.style.Fingerprint.assemble(s,
         Pipeline.textual(s, dir)
@@ -1817,7 +1817,7 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY e.event_id
            |                            ORDER BY v.id ASC) AS rn
            |  FROM ev e JOIN vertex_rows v
-           |    ON v.label = 'character' AND lower(v.id) LIKE '%' || e.agent || '%'
+           |    ON v.label = 'character' AND v.cname LIKE '%' || e.agent || '%'
            |) WHERE rn = 1
            |UNION ALL
            |SELECT src, dst, type, role FROM (
@@ -1829,7 +1829,7 @@ object SparkEntry {
            |                                     v.id ASC) AS rn
            |  FROM ev e JOIN vertex_rows v
            |    ON v.label IN ('character', 'place', 'object')
-           |   AND lower(v.id) LIKE '%' || e.patient || '%'
+           |   AND v.cname LIKE '%' || e.patient || '%'
            |) WHERE rn = 1""".stripMargin),
       "q50_word_lengths" -> Oracles.overSyn(
         """, toks50 AS (

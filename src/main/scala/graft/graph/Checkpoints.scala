@@ -41,21 +41,59 @@ final class Checkpoints(
   private val PidCol = "__graft_pid"
 
   def checkpointTable(): DataFrame = {
-    if (Files.exists(Paths.get(ckDir))) spark.read.parquet(ckDir)
+    if (Files.exists(Paths.get(ckDir))) readTable()
     else spark.emptyDataFrame
   }
+
+  /** Read the checkpoint table, quarantining unreadable files. A crash
+    * mid-move on a filesystem without atomic rename (see [[commit]]) can
+    * leave a torn parquet file; without this, every subsequent read of the
+    * table would throw and the warehouse could never be used again —
+    * neither resumed nor recomputed (round-5 review). Torn files move to
+    * `_ck_quarantine` (losing at worst the rows of that one commit, which
+    * only un-marks stages as complete — they recompute).
+    */
+  private def readTable(): DataFrame =
+    try spark.read.parquet(ckDir)
+    catch {
+      case _: Throwable =>
+        val q = Paths.get(s"$warehouse/_ck_quarantine")
+        Files.createDirectories(q)
+        val listing = Files.list(Paths.get(ckDir))
+        val files =
+          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+          finally listing.close()
+        files.foreach { f =>
+          val ok =
+            try { spark.read.parquet(f).schema; true }
+            catch { case _: Throwable => false }
+          if (!ok)
+            Files.move(Paths.get(f), q.resolve(Paths.get(f).getFileName),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
+        spark.read.parquet(ckDir)
+    }
 
   private def isComplete(stage: String): Boolean = {
     Files.exists(Paths.get(ckDir)) &&
       Files.exists(Paths.get(s"$warehouse/$stage/_SUCCESS")) && {
-        val t = spark.read.parquet(ckDir)
+        val t = readTable()
         // warehouses written by the pre-fingerprint format have no
         // fingerprint column: treat their rows as incomplete (recompute)
         // rather than throwing on the missing column (ADVICE r02)
-        t.columns.contains("fingerprint") &&
-          !t.filter(col("stage") === stage && col("status") === "complete" &&
-              col("fingerprint") === fingerprint)
-            .isEmpty
+        t.columns.contains("fingerprint") && {
+          // the LATEST completion must carry THIS run's fingerprint: a
+          // warehouse reused across inputs (A -> B -> A) overwrites the
+          // stage OUTPUT under B while A's older completion rows survive
+          // in the append-only table — matching on any-row fingerprint
+          // would load B's parquet as A's result (round-5 review)
+          val latest = t
+            .filter(col("stage") === stage && col("status") === "complete")
+            .orderBy(col("updated_at").desc)
+            .select("fingerprint")
+            .head(1)
+          latest.nonEmpty && latest(0).getString(0) == fingerprint
+        }
       }
   }
 
@@ -127,7 +165,16 @@ final class Checkpoints(
       val partCounts = written
         .groupBy(col(PidCol).as("partition_id"))
         .agg(count(lit(1)).as("rows_out"))
-      record(name, partCounts, "complete")
+      // an empty stage output has no partition rows — record a synthetic
+      // (-1, 0) lineage row so the stage is still marked complete and a
+      // resume loads the empty parquet instead of recomputing the stage
+      // on every run (round-5 review: e.g. a corpus with no dialogue)
+      val lineage =
+        if (partCounts.isEmpty) {
+          import spark.implicits._
+          Seq((-1, 0L)).toDF("partition_id", "rows_out")
+        } else partCounts
+      record(name, lineage, "complete")
       println(f"[ck] stage=$name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       written.drop(PidCol)
     }

@@ -12,16 +12,45 @@ import graft.extract.Canonicalize
   */
 object Materialize {
 
-  /** Edge-table delta for this run: aggregated triples with ordered
-    * passage-id sets (G2, writer.py:135-222).
+  /** ONE definition of what an edge key is — the resolved-endpoint filter
+    * plus the (src, dst, type) grouping — shared by the materialization
+    * delta and the query path (Pipeline.edges), so the two cannot drift
+    * on edge semantics (round-5 review).
     */
-  def edgeDelta(triples: DataFrame): DataFrame =
+  def edgeGroups(
+      triples: DataFrame): org.apache.spark.sql.RelationalGroupedDataset =
     triples
       .filter(col("subject_id").isNotNull && col("object_id").isNotNull)
       .groupBy(
         col("subject_id").as("src"),
         col("object_id").as("dst"),
         col("predicate").as("type"))
+
+  /** ONE definition of a vertex id: the linker's canonical id, or
+    * `new_<slug>` for unlinked mentions (writer.py:41-133's id scheme).
+    * Shared by [[vertexDelta]] and [[mentionedInEdges]].
+    */
+  private[graft] def vertexId: Column =
+    coalesce(col("canonical_id"), concat(lit("new_"),
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")))
+
+  /** Speaker-name -> canonical-id resolution (G10, writer.py:592-597's
+    * entity_id_map with the `char_<slug>` fallback) as a broadcast UDF —
+    * shared by [[characterVoice]] and [[dialogueGraph]].
+    */
+  private def speakerIdUdf(spark: SparkSession) = {
+    val lk = spark.sparkContext.broadcast(
+      new graft.extract.LocalLinker(graft.extract.Seeds.default))
+    udf((speaker: String) =>
+      lk.value.lookup(speaker).map(_._1).getOrElse(
+        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
+  }
+
+  /** Edge-table delta for this run: aggregated triples with ordered
+    * passage-id sets (G2, writer.py:135-222).
+    */
+  def edgeDelta(triples: DataFrame): DataFrame =
+    edgeGroups(triples)
       .agg(
         count(lit(1)).as("mention_count"),
         sort_array(collect_set(col("passage_id"))).as("passage_ids"),
@@ -56,9 +85,8 @@ object Materialize {
     * first_seen_doc keeps the minimum.
     */
   def vertexDelta(linked: DataFrame): DataFrame = {
-    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
     linked
-      .withColumn("vid", coalesce(col("canonical_id"), concat(lit("new_"), slug)))
+      .withColumn("vid", vertexId)
       .groupBy(col("vid").as("id"), col("entity_type").as("label"))
       .agg(
         count(lit(1)).as("mention_count"),
@@ -113,16 +141,23 @@ object Materialize {
       vertices: DataFrame,
       voiceProfiles: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lk = spark.sparkContext.broadcast(
-      new graft.extract.LocalLinker(graft.extract.Seeds.default))
-    val resolveId = udf((speaker: String) =>
-      lk.value.lookup(speaker).map(_._1).getOrElse(
-        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
-    val keyed = voiceProfiles.withColumn("id", resolveId(col("speaker")))
-    vertices.join(
-      keyed.select(col("id"), col("total_lines"), col("questions"),
-        col("avg_words").as("avg_utterance_words")),
-      Seq("id"), "left")
+    val keyed = voiceProfiles
+      .withColumn("id", speakerIdUdf(spark)(col("speaker")))
+    // ONE profile per resolved id: a name and its alias both resolve to
+    // the same canonical entity, and joining the raw per-speaker profiles
+    // would duplicate that vertex row (round-5 review). The reference
+    // overwrites the node's properties per profile in dict-insertion
+    // order (writer.py:586-600 SET semantics) — min-by-speaker is the
+    // deterministic stand-in for that unordered last-write.
+    val onePerId = keyed
+      .groupBy("id")
+      .agg(min_by(
+        struct(col("total_lines"), col("questions"),
+          col("avg_words").as("avg_utterance_words")),
+        col("speaker")).as("p"))
+      .select(col("id"), col("p.total_lines"), col("p.questions"),
+        col("p.avg_utterance_words"))
+    vertices.join(onePerId, Seq("id"), "left")
   }
 
   /** G7 passage style columns (writer.py:432-467): passage vertices joined
@@ -169,10 +204,8 @@ object Materialize {
     * per-pair mention count, MERGE-with-aggregate semantics.
     */
   def mentionedInEdges(linked: DataFrame): DataFrame = {
-    val slug = regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")
     linked
-      .withColumn("vid",
-        coalesce(col("canonical_id"), concat(lit("new_"), slug)))
+      .withColumn("vid", vertexId)
       .groupBy(col("vid").as("src"), col("passage_id").as("dst"))
       .agg(count(lit(1)).as("mention_count"))
       .withColumn("type", lit("MENTIONED_IN"))
@@ -186,11 +219,7 @@ object Materialize {
   def dialogueGraph(
       spark: SparkSession,
       dialogue: DataFrame): (DataFrame, DataFrame) = {
-    val lk = spark.sparkContext.broadcast(
-      new graft.extract.LocalLinker(graft.extract.Seeds.default))
-    val resolveId = udf((speaker: String) =>
-      lk.value.lookup(speaker).map(_._1).getOrElse(
-        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
+    val resolveId = speakerIdUdf(spark)
     val lines = dialogue
       .withColumn("line_id",
         concat(col("passage_id"), lit("#"), col("position")))
@@ -244,17 +273,25 @@ object Materialize {
     * character > place > object (INVOLVED_IN/patient); deterministic
     * first-hit = min vertex id (the reference's unordered LIMIT 1 made
     * deterministic).
+    *
+    * Containment tests the vertex's CANONICAL NAME, exactly as the
+    * reference's Cypher does (`toLower(c.canonical_name) CONTAINS
+    * toLower($name)`, writer.py:771-772) — NOT the slugged vertex id:
+    * ids replace spaces with '_', so a two-word agent like "Bilbo
+    * Baggins" can never be contained in any id and would silently link
+    * nothing (round-5 review). `vertices` must carry (id, label,
+    * canonical_name).
     */
   def eventEntityLinks(events: DataFrame, vertices: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = eventVertices(events)
       .select(col("id").as("event_id"), col("agent"), col("patient"))
     // Blocking key turns the events x vertices containment NLJ into an
-    // equi-join (VERDICT r02 #5): if lower(vid) contains lower(term), the
-    // term's leading <=3-gram is necessarily one of vid's <=3-grams, so
-    // joining term.first3gram == vid.gram is LOSSLESS blocking — the
+    // equi-join (VERDICT r02 #5): if lower(vname) contains lower(term),
+    // the term's leading <=3-gram is necessarily one of vname's <=3-grams,
+    // so joining term.first3gram == vname.gram is LOSSLESS blocking — the
     // containment filter after the join only discards, never adds. Vertex
-    // grams fan out ~3x|vid| rows of a dimension table; the quadratic
+    // grams fan out ~3x|vname| rows of a dimension table; the quadratic
     // compare is gone.
     val gramsUdf = udf((s: String) =>
       (1 to 3).flatMap(n =>
@@ -268,9 +305,9 @@ object Materialize {
       // keeps the trigram blocking lossless (an empty term has no grams)
       val keyed = ev.filter(length(term) > 0)
         .withColumn("blk", substring(lower(term), 1, 3))
-      val grams = side.withColumn("blk", explode(gramsUdf(lower(col("vid")))))
+      val grams = side.withColumn("blk", explode(gramsUdf(lower(col("vname")))))
       keyed.join(grams, Seq("blk"))
-        .filter(lower(col("vid")).contains(lower(term)))
+        .filter(lower(col("vname")).contains(lower(term)))
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_id").orderBy(prio, col("vid").asc)))
         .filter(col("rn") === 1)
@@ -278,9 +315,11 @@ object Materialize {
           lit(linkType).as("type"), lit(role).as("role"))
     }
     val chars = vertices.filter(col("label") === "character")
-      .select(col("id").as("vid"), col("label"))
+      .select(col("id").as("vid"), col("canonical_name").as("vname"),
+        col("label"))
     val targets = vertices.filter(col("label").isin("character", "place", "object"))
-      .select(col("id").as("vid"), col("label"))
+      .select(col("id").as("vid"), col("canonical_name").as("vname"),
+        col("label"))
     val prio = when(col("label") === "character", 0)
       .when(col("label") === "place", 1).otherwise(2)
     links(col("agent"), chars, lit(0), "PARTICIPATED_IN", "agent")
@@ -307,12 +346,17 @@ object Materialize {
   def runAllReplicated(spark: SparkSession, sfDir: String,
       warehouse: String, rep: Int): DataFrame = {
     val li = new java.io.File(s"$sfDir/lineitem.parquet")
+    // size AND mtime, like Pipeline.inputFingerprint (ADVICE r02):
+    // regenerated testdata from a deterministic writer can be
+    // byte-for-byte the same SIZE with different content — without the
+    // mtime a resume would silently load the old corpus's stages
+    // (round-5 review)
+    val fp = s"$sfDir#${li.length}#${li.lastModified}"
     if (rep <= 1)
-      runAllFrom(spark, Pipeline.textual(spark, sfDir), warehouse,
-        s"$sfDir#${li.length}")
+      runAllFrom(spark, Pipeline.textual(spark, sfDir), warehouse, fp)
     else
       runAllFrom(spark, Pipeline.textualReplicated(spark, sfDir, rep),
-        s"$warehouse/rep$rep", s"$sfDir#${li.length}#rep$rep")
+        s"$warehouse/rep$rep", s"$fp#rep$rep")
   }
 
   /** [[runAll]] over an explicit textual-passage source — the rep-N

@@ -74,6 +74,19 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Shared null contract for BOTH sessionize paths: the schema declares
+    * user_id/ts/value nullable, and the streaming encoder `(Long,
+    * Timestamp, Double)` would crash the query on the first null while
+    * the batch twin's sum() silently skipped it — breaking stream==batch
+    * in two different ways (round-5 review). Events without a user or
+    * timestamp are non-sessionizable and dropped in both paths; a null
+    * value keeps its event with a 0.0 contribution in both paths.
+    */
+  private def sessionizable(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+
   /** Batch sessionization twin (gaps-and-islands): a new session starts
     * when a user's inter-event gap exceeds `gapMinutes`. Scales as one
     * shuffle on user_id; the running session index is a per-user
@@ -82,6 +95,7 @@ object EventStream {
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val clean = sessionizable(events)
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // exact microsecond gaps (unix_timestamp truncates to seconds, and
     // DuckDB's epoch() keeps fractions — only integer micros agree)
@@ -93,7 +107,7 @@ object EventStream {
       tsUs(col("ts")) -
         tsUs(lag(col("ts"), 1).over(byUser)) > gapMinutes * 60000000L ||
         lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L)
-    events
+    clean
       .withColumn("ns", newSession)
       .withColumn("session_idx",
         sum(col("ns")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -136,7 +150,7 @@ object EventStream {
       t.setNanos((us % 1000000L).toInt * 1000)
       t
     }
-    events
+    sessionizable(events)
       .withWatermark("ts", watermarkDelay)
       .selectExpr("user_id", "ts", "value")
       .as[(Long, Timestamp, Double)]

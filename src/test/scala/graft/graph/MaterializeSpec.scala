@@ -141,5 +141,69 @@ class MaterializeSpec extends SparkSpec {
     // different fingerprint -> recomputed
     val ck2 = new Checkpoints(spark, wh, "input_v2")
     assert(ck2.stage("s") { Seq(9).toDF("x") }.count() == 1)
+    // A -> B -> A: v1's old completion rows survive in the append-only
+    // table, but the stage OUTPUT now holds v2's data — returning to v1
+    // must recompute (latest-completion fingerprint check, round-5
+    // review), not load v2's parquet as v1's result
+    val ck1c = new Checkpoints(spark, wh, "input_v1")
+    assert(ck1c.stage("s") { Seq(4, 5, 6).toDF("x") }.count() == 3)
+    assert(spark.read.parquet(s"$wh/s").drop("__graft_pid")
+      .as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+  }
+
+  test("empty stage output is still checkpointed complete (round-5 review)") {
+    val wh = Files.createTempDirectory("graft_wh4").toString
+    import spark.implicits._
+    val ck = new Checkpoints(spark, wh, "fp")
+    assert(ck.stage("empty") { Seq.empty[Int].toDF("x") }.count() == 0)
+    val f = new java.io.File(s"$wh/empty/_SUCCESS")
+    val mtime = f.lastModified()
+    // resume must LOAD the empty stage, not recompute it every run
+    val ck2 = new Checkpoints(spark, wh, "fp")
+    assert(ck2.stage("empty") { Seq(1).toDF("x") }.count() == 0)
+    assert(f.lastModified() == mtime, "empty stage was recomputed on resume")
+  }
+
+  test("event links match canonical names, not slugged ids (writer.py:771-772)") {
+    import spark.implicits._
+    // a two-word agent can never be contained in a slugged id
+    // ("new_bilbo_baggins"); the reference's Cypher matches canonical_name
+    val events = Seq(
+      ("d1", 1, "p1", "ev_a", "Bilbo Baggins", "found", "the Ring", null
+        .asInstanceOf[String], null.asInstanceOf[Integer], 0.6),
+      ("d1", 2, "p2", "ev_b", "Gandalf", "entered", "Moria Gate", null
+        .asInstanceOf[String], null.asInstanceOf[Integer], 0.6))
+      .toDF("doc_id", "pos", "passage_id", "event_id", "agent", "action",
+        "patient", "era", "year", "confidence")
+    val vertices = Seq(
+      ("new_bilbo_baggins", "character", "Bilbo Baggins"),
+      ("gandalf", "character", "Gandalf"),
+      ("new_moria_gate", "place", "Moria Gate"))
+      .toDF("id", "label", "canonical_name")
+    val links = Materialize.eventEntityLinks(events, vertices)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3)))
+      .toSet
+    assert(links.contains(("new_bilbo_baggins", "ev_a", "agent")))
+    assert(links.contains(("gandalf", "ev_b", "agent")))
+    assert(links.contains(("new_moria_gate", "ev_b", "patient")))
+  }
+
+  test("character voice: one profile row per resolved id (alias collapse)") {
+    import spark.implicits._
+    // "Gandalf" and his registered alias resolve to the same canonical id;
+    // the join must not duplicate the vertex row (round-5 review)
+    val alias = graft.Lexicon.CharAliases(graft.Lexicon.Chars.indexOf("Gandalf"))
+    val vertices = Seq(("gandalf", "character", 5L, "Gandalf"))
+      .toDF("id", "label", "mention_count", "canonical_name")
+    val profiles = Seq(
+      ("Gandalf", 10L, 2L, 8.0),
+      (alias, 4L, 1L, 6.0))
+      .toDF("speaker", "total_lines", "questions", "avg_words")
+    val out = Materialize.characterVoice(spark, vertices, profiles)
+    assert(out.count() == 1, "alias profile duplicated the vertex row")
+    // deterministic pick: min speaker ("Gandalf" < alias or vice versa —
+    // fixed by byte order, stable across runs)
+    val picked = Seq(("Gandalf", 10L), (alias, 4L)).minBy(_._1)._2
+    assert(out.select("total_lines").collect()(0).getLong(0) == picked)
   }
 }

@@ -129,6 +129,25 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sessionize null contract: null user/ts dropped, null value = 0.0 (round-5 review)") {
+    import spark.implicits._
+    // the schema declares user_id/ts/value nullable; the stream's
+    // primitive encoder would crash on a null while the batch twin's
+    // sum() silently skipped it — both paths now share one contract
+    val events = Seq(
+      (1L, ts(0), java.lang.Long.valueOf(7L), "e", java.lang.Double.valueOf(1.5), "{}"),
+      (2L, ts(1), java.lang.Long.valueOf(7L), "e", null.asInstanceOf[java.lang.Double], "{}"),
+      (3L, ts(2), null.asInstanceOf[java.lang.Long], "e", java.lang.Double.valueOf(9.0), "{}"),
+      (4L, null.asInstanceOf[Timestamp], java.lang.Long.valueOf(7L), "e", java.lang.Double.valueOf(9.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.sessionizeBatch(events).collect()
+    assert(out.length == 1)
+    // user 7 keeps BOTH non-null-ts events (null value contributes 0.0)
+    assert(out(0).getLong(0) == 7L)
+    assert(out(0).getLong(3) == 2L)
+    assert(out(0).getDouble(4) == 1.5)
+  }
+
   test("advanceSessions: incremental+compacted equals full-history sessionization (property)") {
     // Drives the pure per-user state-step over random multi-batch streams
     // with a monotone watermark (incoming ts always > wm, Spark's late
