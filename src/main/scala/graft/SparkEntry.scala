@@ -645,7 +645,7 @@ object SparkEntry {
       // Q8 confidence: the claim's token set is a compile-time literal;
       // the found side is the two matched events' "agent action patient"
       // descriptions. Same floor-2dp clamp formula as the Spark side.
-      val cToks = c.evClaimText.toLowerCase.split("\\s+").distinct
+      val cToks = c.evClaimText.toLowerCase(java.util.Locale.ROOT).split("\\s+").distinct
       val cToksLit = cToks.map(t => s"'${sq(t)}'").mkString("[", ", ", "]")
       val fToks =
         """list_distinct(regexp_split_to_array(lower(d1 || ' ' || d2), '\s+'))"""
@@ -751,16 +751,16 @@ object SparkEntry {
       s"""
          |SELECT p.doc_id, p.pos,
          |  CASE WHEN p.score < 0.5 THEN 'unknown' ELSE p.name END AS primary_type,
-         |  round(CASE WHEN p.score < 0.5 THEN 0.0
-         |             WHEN p.total > 0 THEN least(1.0, p.score / p.total)
-         |             ELSE 0.0 END, 4) AS confidence,
+         |  floor((CASE WHEN p.score < 0.5 THEN 0.0
+         |              WHEN p.total > 0 THEN least(1.0, p.score / p.total)
+         |              ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS confidence,
          |  CASE WHEN sx.score > 0.3 THEN sx.name END AS secondary_type,
-         |  round(p.s0, 4) AS dialogue_score,
-         |  round(p.s1, 4) AS action_score,
-         |  round(p.s2, 4) AS description_score,
-         |  round(p.s3, 4) AS travel_score,
-         |  round(p.s4, 4) AS battle_score,
-         |  round(p.s5, 4) AS reflection_score
+         |  floor(p.s0 * 10000 + 0.5) / 10000.0 AS dialogue_score,
+         |  floor(p.s1 * 10000 + 0.5) / 10000.0 AS action_score,
+         |  floor(p.s2 * 10000 + 0.5) / 10000.0 AS description_score,
+         |  floor(p.s3 * 10000 + 0.5) / 10000.0 AS travel_score,
+         |  floor(p.s4 * 10000 + 0.5) / 10000.0 AS battle_score,
+         |  floor(p.s5 * 10000 + 0.5) / 10000.0 AS reflection_score
          |FROM ranked p JOIN ranked sx
          |  ON p.doc_id = sx.doc_id AND p.pos = sx.pos
          |WHERE p.rn = 1 AND sx.rn = 2""".stripMargin)
@@ -1017,7 +1017,7 @@ object SparkEntry {
     */
   private def consolidationOracleSql: String = {
     val nameRows = q51Names.zipWithIndex
-      .map { case (n, i) => s"($i, '${n.toLowerCase}')" }.mkString(", ")
+      .map { case (n, i) => s"($i, '${n.toLowerCase(java.util.Locale.ROOT)}')" }.mkString(", ")
     s"""WITH names(si, nm) AS (VALUES $nameRows),
        |base AS (
        |  SELECT 'c' || l_orderkey AS doc_id, CAST(l_linenumber AS INT) AS pos,
@@ -1873,8 +1873,8 @@ object SparkEntry {
       "q25_embedding_neardup" ->
         """SELECT * FROM (
           |  SELECT a.vec_id AS a, b.vec_id AS b,
-          |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-          |                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos
+          |         floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |                 CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS cos
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |) WHERE cos >= 0.4""".stripMargin,
       "q26_minhash_dups" -> minhashOracleSql,

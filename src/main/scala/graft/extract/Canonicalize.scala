@@ -37,7 +37,7 @@ object Canonicalize {
         AliasPatterns.flatMap { p =>
           val m = p.matcher(text)
           val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-          while (m.find()) b += ((m.group(1).toLowerCase, m.group(2).toLowerCase))
+          while (m.find()) b += ((m.group(1).toLowerCase(java.util.Locale.ROOT), m.group(2).toLowerCase(java.util.Locale.ROOT)))
           b
         }
       }

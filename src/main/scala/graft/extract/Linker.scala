@@ -51,7 +51,12 @@ object Linker {
     * strip possessive 's.
     */
   def cleanKey(c: Column): Column =
-    lower(regexp_replace(regexp_replace(trim(c), """\s+""", " "), "'s$", ""))
+    // final trim AFTER the possessive strip, like the reference
+    // (resolver.py:213-221 ends with .strip()) and LocalLinker.cleanKey —
+    // "Frodo 's" must clean to "frodo", not "frodo " (round-5 review: the
+    // trailing space missed the exact tiers and fell to fuzzy, so the
+    // fused and join linkers produced different confidences)
+    lower(trim(regexp_replace(regexp_replace(trim(c), """\s+""", " "), "'s$", "")))
 
   /** Article strip (resolver.py:85-89). */
   def stripArticle(c: Column): Column =
@@ -64,7 +69,7 @@ object Linker {
     case "OBJECT" => "object"
     case "EVENT" => "event"
     case _ =>
-      val l = text.toLowerCase
+      val l = text.toLowerCase(java.util.Locale.ROOT)
       if (graft.Lexicon.PlaceIndicators.exists(l.contains)) "place"
       else if (graft.Lexicon.ObjectIndicators.exists(l.contains)) "object"
       else "unknown"

@@ -19,7 +19,7 @@ final class LocalLinker(seeds: Seq[SeedEntity]) extends Serializable {
 
   private def cleanKey(text: String): String =
     text.trim.split("\\s+").mkString(" ")
-      .replaceAll("'s$", "").trim.toLowerCase
+      .replaceAll("'s$", "").trim.toLowerCase(java.util.Locale.ROOT)
 
   private def stripArticle(k: String): String =
     k.replaceFirst("^(the |a |an )", "")

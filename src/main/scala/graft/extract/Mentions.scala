@@ -84,7 +84,7 @@ object Mentions {
         // run (a fixed `+ 1` on "Then  Tom" would leave a leading space in
         // the span and shift its start; round-5 review)
         val ws = t.indexWhere(Character.isWhitespace)
-        if (ws > 0 && Lexicon.NonNames.contains(t.substring(0, ws).toLowerCase)) {
+        if (ws > 0 && Lexicon.NonNames.contains(t.substring(0, ws).toLowerCase(java.util.Locale.ROOT))) {
           var adv = ws
           while (adv < t.length && Character.isWhitespace(t.charAt(adv))) adv += 1
           start += adv
@@ -92,7 +92,7 @@ object Mentions {
         } else stripped = false
       }
       val single = !t.exists(Character.isWhitespace)
-      if (!(single && Lexicon.NonNames.contains(t.toLowerCase)))
+      if (!(single && Lexicon.NonNames.contains(t.toLowerCase(java.util.Locale.ROOT))))
         out += Raw(t, start, start + t.length, "UNKNOWN", "heuristic", 0.7)
     }
 
@@ -109,7 +109,7 @@ object Mentions {
     //    occurrences. One Aho-Corasick pass: linear in text length, NOT in
     //    the alias count — the per-alias indexOf loop was the one stage
     //    that degraded linearly with registry size (VERDICT r02 #3).
-    // length-PRESERVING per-char lowercase: String.toLowerCase can change
+    // length-PRESERVING per-char lowercase: String.toLowerCase(java.util.Locale.ROOT) can change
     // the string length (e.g. U+0130 'İ' expands to two chars), which
     // would shift every subsequent hit offset relative to `text` and can
     // push endIdx past text.length (round-5 review). Character-level

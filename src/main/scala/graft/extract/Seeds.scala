@@ -22,9 +22,9 @@ object Seeds {
     */
   val default: Seq[SeedEntity] = {
     val chars = Lexicon.Chars.zip(Lexicon.CharAliases).map { case (n, a) =>
-      SeedEntity(n.toLowerCase, n, Seq(a), "character")
+      SeedEntity(n.toLowerCase(java.util.Locale.ROOT), n, Seq(a), "character")
     }
-    val places = Lexicon.Places.map(p => SeedEntity(p.toLowerCase, p, Nil, "place"))
+    val places = Lexicon.Places.map(p => SeedEntity(p.toLowerCase(java.util.Locale.ROOT), p, Nil, "place"))
     chars ++ places
   }
 
@@ -42,8 +42,14 @@ object Seeds {
     */
   def aliasRows(seeds: Seq[SeedEntity]): Seq[(String, String, String, String)] = {
     val rows = seeds.flatMap { e =>
-      (e.canonicalName +: e.aliases).map(n =>
-        (n.toLowerCase, e.id, e.entityType, e.canonicalName))
+      // null/blank guard (round-5 review): a seed JSON row with a missing
+      // canonical_name or an empty alias would NPE here or register an
+      // empty Aho-Corasick pattern that fires a zero-width mention at
+      // every text position — skip such keys instead
+      (e.canonicalName +: e.aliases)
+        .filter(n => n != null && n.trim.nonEmpty)
+        .map(n =>
+          (n.toLowerCase(java.util.Locale.ROOT), e.id, e.entityType, e.canonicalName))
     }
     rows.reverse.distinctBy(_._1).reverse
   }
@@ -61,6 +67,9 @@ object Seeds {
     spark.read.schema(seedJsonSchema)
       .option("multiLine", "true").json(path)
       .collect()
+      // rows missing id or canonical_name are unusable as lookup entries
+      // (round-5 review: they NPE'd later in aliasRows) — drop them
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => SeedEntity(
         r.getString(0), r.getString(1),
         Option(r.getSeq[String](2)).getOrElse(Nil), entityType))

@@ -73,11 +73,14 @@ object Triples {
       fromMention: Boolean)
 
   /** T4 argument->entity matching: exact, article-strip, then containment
-    * either way. Returns the matching mention if any.
+    * either way. Returns the matching mention if any. Takes the
+    * PRE-LOWERCASED (key, arg) list — building it here allocated a fresh
+    * list of lowercased strings twice per verb occurrence in the
+    * extraction hot loop (round-5 review; same allocation discipline as
+    * the DetPrefix index walk above).
     */
-  private def findEntity(text: String, args: Seq[Arg]): Option[Arg] = {
-    val t = text.toLowerCase.trim
-    val byKey = args.map(a => a.text.toLowerCase -> a)
+  private def findEntity(text: String, byKey: Seq[(String, Arg)]): Option[Arg] = {
+    val t = text.toLowerCase(java.util.Locale.ROOT).trim
     byKey.find(_._1 == t).map(_._2)
       .orElse {
         val stripped = Seq("the ", "a ", "an ").collectFirst {
@@ -102,6 +105,10 @@ object Triples {
     }
     def quoteOf(p: Int): Int = quotes.indexWhere(r => p >= r._1 && p < r._2)
 
+    // built once per passage, shared by every findEntity call
+    val mentionsByKey =
+      mentions.map(a => a.text.toLowerCase(java.util.Locale.ROOT) -> a)
+
     // candidate noun phrases: (det-widened) mentions + det-chunks
     val nps = scala.collection.mutable.ArrayBuffer.empty[Np]
     val mentionNps = mentions.map { m =>
@@ -109,7 +116,7 @@ object Triples {
       val widened =
         if (pm.find()) {
           val mods = pm.group(2).split("\\s+").filter(_.nonEmpty)
-          if (mods.forall(w => !Lexicon.VerbToRelationship.contains(w.toLowerCase)))
+          if (mods.forall(w => !Lexicon.VerbToRelationship.contains(w.toLowerCase(java.util.Locale.ROOT))))
             Some(Np(text.substring(pm.start, m.end), pm.start, m.end,
               fromMention = true))
           else None
@@ -144,7 +151,7 @@ object Triples {
         else {
           var ws = we
           while (ws > g2s && !Character.isWhitespace(text.charAt(ws - 1))) ws -= 1
-          if (Lexicon.VerbToRelationship.contains(text.substring(ws, we).toLowerCase)) {
+          if (Lexicon.VerbToRelationship.contains(text.substring(ws, we).toLowerCase(java.util.Locale.ROOT))) {
             end = ws; trimmedAny = true
           } else {
             end = if (trimmedAny) we else dm.end
@@ -167,7 +174,7 @@ object Triples {
     val wm = WordToken.matcher(text)
     while (wm.find()) {
       val token = wm.group(0)
-      val tLower = token.toLowerCase
+      val tLower = token.toLowerCase(java.util.Locale.ROOT)
       Lexicon.VerbToRelationship.get(tLower).foreach { pred =>
         val vStart = wm.start
         val vEnd = wm.end
@@ -182,10 +189,10 @@ object Triples {
             .sortBy(n => n.start).headOption
           (subj, obj) match {
             case (Some(s), Some(o)) if !s.text.equalsIgnoreCase(o.text) =>
-              val se = findEntity(s.text, mentions)
-              val oe = findEntity(o.text, mentions)
+              val se = findEntity(s.text, mentionsByKey)
+              val oe = findEntity(o.text, mentionsByKey)
               if (se.isDefined || oe.isDefined) {
-                val key = s"${s.text.toLowerCase}|$pred|${o.text.toLowerCase}"
+                val key = s"${s.text.toLowerCase(java.util.Locale.ROOT)}|$pred|${o.text.toLowerCase(java.util.Locale.ROOT)}"
                 if (!out.contains(key))
                   out(key) = (s.text, pred, se, o.text, oe, token)
               }

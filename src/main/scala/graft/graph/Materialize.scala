@@ -43,7 +43,7 @@ object Materialize {
       new graft.extract.LocalLinker(graft.extract.Seeds.default))
     udf((speaker: String) =>
       lk.value.lookup(speaker).map(_._1).getOrElse(
-        "char_" + speaker.toLowerCase.replaceAll("[^a-z0-9]+", "_")))
+        "char_" + speaker.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", "_")))
   }
 
   /** Edge-table delta for this run: aggregated triples with ordered

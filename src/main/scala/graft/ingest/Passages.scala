@@ -39,16 +39,23 @@ object Passages {
   def validate(passages: DataFrame, sourceRows: DataFrame): DataFrame = {
     val p = passages.select(col("doc_id"), col("pos"),
       col("kind").as("p_kind"), col("text").as("p_text"),
-      col("media_ref").as("p_ref"), col("offset").as("p_off"))
+      col("media_ref").as("p_ref"), col("offset").as("p_off"),
+      lit(true).as("p_present"))
     val s = sourceRows.select(col("doc_id"), col("pos"),
       col("kind").as("s_kind"), col("text").as("s_text"),
-      col("media_ref").as("s_ref"), col("offset").as("s_off"))
+      col("media_ref").as("s_ref"), col("offset").as("s_off"),
+      lit(true).as("s_present"))
     p.join(s, Seq("doc_id", "pos"), "full_outer")
+      // null-safe equality (<=>) on EVERY field, not just media_ref: the
+      // validator is a generic span-sequence checker and a table whose
+      // spans carry null text/kind/offset on both sides must compare
+      // equal, not fail with a three-valued-logic null (round-5 review).
+      // The presence flags keep drops/phantoms failing — field-wise <=>
+      // alone would pass an all-null span row against a missing row.
       .withColumn("row_ok",
-        col("p_kind") === col("s_kind") && col("p_text") === col("s_text") &&
-          (col("p_ref") === col("s_ref") ||
-            (col("p_ref").isNull && col("s_ref").isNull)) &&
-          col("p_off") === col("s_off"))
+        col("p_present").isNotNull && col("s_present").isNotNull &&
+          (col("p_kind") <=> col("s_kind")) && (col("p_text") <=> col("s_text")) &&
+          (col("p_ref") <=> col("s_ref")) && (col("p_off") <=> col("s_off")))
       .groupBy("doc_id")
       .agg((count(lit(1)) === sum(when(col("row_ok"), 1L).otherwise(0L))).as("ok"))
   }

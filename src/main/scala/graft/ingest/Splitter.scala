@@ -75,7 +75,7 @@ object Splitter {
 
   /** generate_passage_id (splitter.py:173-178). */
   def passageId(book: String, chapter: Int, para: Int, sent: Int): String = {
-    val slug = book.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val slug = book.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
     s"p_${slug}_c${chapter}_p${para}_s$sent"
   }

@@ -134,7 +134,7 @@ object Checker {
         event1Agent = Some(em.group(1)),
         event1Action = Some(em.group(2)),
         event1Patient = Some(em.group(3)),
-        ordering = Some(em.group(4).toLowerCase),
+        ordering = Some(em.group(4).toLowerCase(java.util.Locale.ROOT)),
         event2Agent = Some(em.group(5)),
         event2Action = Some(em.group(2)),
         event2Patient = Some(em.group(3)))
@@ -208,7 +208,7 @@ object Checker {
     }
 
   private def stem(v: String): String =
-    v.toLowerCase.stripSuffix("ed").stripSuffix("s")
+    v.toLowerCase(java.util.Locale.ROOT).stripSuffix("ed").stripSuffix("s")
 
   /** Rule-cache evidence: for each (claim, terms) count rules whose text
     * contains ANY of the terms — the reference's `_find_relevant_rules`
@@ -240,9 +240,9 @@ object Checker {
     val rel = claims.filter(_.claimType == "RELATIONSHIP")
     if (rel.isEmpty) return emptyOut(spark)
     val cdf = rel.map { c =>
-      val et = PredicateToEdgeType.getOrElse(c.predicate.get.toLowerCase,
-        c.predicate.get.toUpperCase.replace(" ", "_"))
-      (c.original, c.subject.get.toLowerCase, et, c.obj.get.toLowerCase,
+      val et = PredicateToEdgeType.getOrElse(c.predicate.get.toLowerCase(java.util.Locale.ROOT),
+        c.predicate.get.toUpperCase(java.util.Locale.ROOT).replace(" ", "_"))
+      (c.original, c.subject.get.toLowerCase(java.util.Locale.ROOT), et, c.obj.get.toLowerCase(java.util.Locale.ROOT),
         c.negated)
     }.toDF("claim", "subj", "edge_type", "obj", "negated")
 
@@ -256,7 +256,7 @@ object Checker {
         .otherwise(0L)).as("edge_evidence"))
     val fallback = ruleEvidence(spark,
       rel.map(c => c.original ->
-        Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase)), rules)
+        Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase(java.util.Locale.ROOT))), rules)
     direct.join(fallback, Seq("claim"), "left")
       .select(col("claim"), lit("relationship").as("claim_type"),
         when(col("edge_evidence") > 0 && !col("negated"), "VALID")
@@ -282,8 +282,8 @@ object Checker {
     val ent = claims.filter(c =>
       c.claimType == "ENTITY_EXISTS" && c.subject.isDefined)
     if (ent.isEmpty) return emptyOut(spark)
-    val cdf = ent.map(c => (c.original, c.subject.get.toLowerCase,
-      c.value.getOrElse("").toLowerCase)).toDF("claim", "subj", "want_type")
+    val cdf = ent.map(c => (c.original, c.subject.get.toLowerCase(java.util.Locale.ROOT),
+      c.value.getOrElse("").toLowerCase(java.util.Locale.ROOT))).toDF("claim", "subj", "want_type")
     broadcast(cdf).join(vertices,
       col("id").contains(col("subj")), "left")
       .groupBy("claim", "want_type")
@@ -313,8 +313,8 @@ object Checker {
     val att = claims.filter(c => c.claimType == "ATTRIBUTE" &&
       c.subject.isDefined && c.value.isDefined)
     if (att.isEmpty) return emptyOut(spark)
-    val cdf = att.map(c => (c.original, c.subject.get.toLowerCase,
-      c.value.get.toLowerCase, c.negated))
+    val cdf = att.map(c => (c.original, c.subject.get.toLowerCase(java.util.Locale.ROOT),
+      c.value.get.toLowerCase(java.util.Locale.ROOT), c.negated))
       .toDF("claim", "subj", "val", "negated")
     broadcast(cdf).join(rules,
         col("rule_text").contains(col("subj")) &&
@@ -348,7 +348,7 @@ object Checker {
         null.asInstanceOf[String], 0.0)).toDF(OutCols: _*)
     if (tem.isEmpty) return unparsedRows
     val cdf = tem.map { c =>
-      (c.original, c.subject.get.toLowerCase,
+      (c.original, c.subject.get.toLowerCase(java.util.Locale.ROOT),
         Temporal.eraFromText(c.timePeriod.get).getOrElse("UNKNOWN"))
     }.toDF("claim", "subj", "era")
     val joined = broadcast(cdf).join(timeline,
@@ -390,10 +390,10 @@ object Checker {
       c.subject.isDefined && c.value.isDefined)
     if (cap.isEmpty) return emptyOut(spark)
     val scan1 = ruleEvidence(spark, cap.map(c =>
-      c.original -> Seq(c.subject.get.toLowerCase, c.value.get.toLowerCase)),
+      c.original -> Seq(c.subject.get.toLowerCase(java.util.Locale.ROOT), c.value.get.toLowerCase(java.util.Locale.ROOT))),
       rules)
     val scan2 = ruleEvidence(spark, cap.map(c =>
-      c.original -> Seq(c.subject.get.toLowerCase, "can")), rules)
+      c.original -> Seq(c.subject.get.toLowerCase(java.util.Locale.ROOT), "can")), rules)
       .withColumnRenamed("rule_evidence", "rule_evidence2")
     scan1.join(scan2, Seq("claim"))
       .select(col("claim"), lit("capability").as("claim_type"),
@@ -417,8 +417,8 @@ object Checker {
        else c.claimType == "UNKNOWN"))
     if (sel.isEmpty) return emptyOut(spark)
     val ev = ruleEvidence(spark, sel.map(c => c.original ->
-      Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase)), rules)
-    ev.select(col("claim"), lit(claimType.toLowerCase).as("claim_type"),
+      Seq(c.subject, c.obj, c.value).flatten.map(_.toLowerCase(java.util.Locale.ROOT))), rules)
+    ev.select(col("claim"), lit(claimType.toLowerCase(java.util.Locale.ROOT)).as("claim_type"),
       when(col("rule_evidence") > 0, "PLAUSIBLE")
         .otherwise("UNKNOWN").as("status"),
       col("rule_evidence").as("evidence"),
@@ -444,12 +444,12 @@ object Checker {
     if (evc.isEmpty) return emptyOut(spark)
     val sides = evc.flatMap { c =>
       Seq(
-        (c.original, 1, c.event1Agent.map(_.toLowerCase).orNull,
+        (c.original, 1, c.event1Agent.map(_.toLowerCase(java.util.Locale.ROOT)).orNull,
           c.event1Action.map(stem).orNull,
-          c.event1Patient.map(_.toLowerCase.replaceFirst("^(the|a|an) ", "")).orNull),
-        (c.original, 2, c.event2Agent.map(_.toLowerCase).orNull,
+          c.event1Patient.map(_.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")).orNull),
+        (c.original, 2, c.event2Agent.map(_.toLowerCase(java.util.Locale.ROOT)).orNull,
           c.event2Action.map(stem).orNull,
-          c.event2Patient.map(_.toLowerCase.replaceFirst("^(the|a|an) ", "")).orNull))
+          c.event2Patient.map(_.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")).orNull))
     }.toDF("claim", "side", "c_agent", "c_stem", "c_patient")
 
     val evPatient = regexp_replace(lower(col("patient")), "^(the|a|an) ", "")
@@ -582,8 +582,8 @@ object Checker {
       case "year" => 0.88
       case _ => 0.80
     }
-    val (ta, tb) = (a.toLowerCase.split("\\s+").toSet,
-      b.toLowerCase.split("\\s+").toSet)
+    val (ta, tb) = (a.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSet,
+      b.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSet)
     val sim =
       if (ta.isEmpty || tb.isEmpty) 0.0
       else (ta intersect tb).size.toDouble / (ta union tb).size

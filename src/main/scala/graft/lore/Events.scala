@@ -39,7 +39,7 @@ object Events {
     """([TFS])\.?A\.?\s*(\d+)"""
   ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
 
-  private def eraOf(g: String): Option[String] = g.toLowerCase match {
+  private def eraOf(g: String): Option[String] = g.toLowerCase(java.util.Locale.ROOT) match {
     case "first" | "f" => Some("FIRST_AGE")
     case "second" | "s" => Some("SECOND_AGE")
     case "third" | "t" => Some("THIRD_AGE")
@@ -93,8 +93,8 @@ object Events {
       while (m.find()) {
         val agent = m.group(1)
         val patient = m.group(2)
-        val norm = s"${agent.toLowerCase}|${verb.stripSuffix("ed").stripSuffix("s")}|${
-          patient.toLowerCase.replaceFirst("^(the|a|an) ", "")}"
+        val norm = s"${agent.toLowerCase(java.util.Locale.ROOT)}|${verb.stripSuffix("ed").stripSuffix("s")}|${
+          patient.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")}"
         if (!seen.contains(norm)) seen(norm) = (agent, verb, patient)
       }
     }
@@ -110,7 +110,7 @@ object Events {
         it.flatMap { case (docId, pos, pid, text) =>
           val (year, era) = extractYear(text)
           extract(text).map { case (agent, action, patient) =>
-            val id = s"${agent.toLowerCase}_${action}_${patient.toLowerCase}"
+            val id = s"${agent.toLowerCase(java.util.Locale.ROOT)}_${action}_${patient.toLowerCase(java.util.Locale.ROOT)}"
               .replace(" ", "_")
             EventRow(docId, pos, pid, id, agent, action, patient,
               year, era, 0.6)
@@ -141,16 +141,16 @@ object Events {
       action: Option[String] = None, patient: Option[String] = None): DataFrame = {
     var df = events
     agent.foreach { a =>
-      val al = lit(a.toLowerCase)
+      val al = lit(a.toLowerCase(java.util.Locale.ROOT))
       df = df.filter(lower(col("agent")).contains(al) ||
         al.contains(lower(col("agent"))))
     }
     action.foreach { v =>
-      val stem = lit(v.toLowerCase.stripSuffix("ed").stripSuffix("s"))
+      val stem = lit(v.toLowerCase(java.util.Locale.ROOT).stripSuffix("ed").stripSuffix("s"))
       df = df.filter(lower(col("action")).contains(stem))
     }
     patient.foreach { p =>
-      val pl = lit(p.toLowerCase.replaceFirst("^(the|a|an) ", ""))
+      val pl = lit(p.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", ""))
       val pat = regexp_replace(lower(col("patient")), "^(the|a|an) ", "")
       df = df.filter(pat.contains(pl) || pl.contains(pat))
     }
@@ -170,7 +170,7 @@ object Events {
       .select("event1_id", "relation").collect().headOption
     direct match {
       case Some(r) =>
-        val rel = r.getString(1).toLowerCase
+        val rel = r.getString(1).toLowerCase(java.util.Locale.ROOT)
         if (r.getString(0) == id1) rel
         else if (rel == "before") "after" else if (rel == "after") "before" else rel
       case None =>

@@ -21,7 +21,7 @@ object Temporal {
 
   /** Era.from_text (temporal.py:27-45). */
   def eraFromText(text: String): Option[String] = {
-    val t = text.toLowerCase
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     if (t.contains("first age") || t.contains("elder days")) Some("FIRST_AGE")
     else if (t.contains("second age")) Some("SECOND_AGE")
     else if (t.contains("third age")) Some("THIRD_AGE")
@@ -151,8 +151,8 @@ object Temporal {
       relations: Seq[(String, String, String)],
       event1: String,
       event2: String): Option[Boolean] = {
-    val idx = timeline.map(t => t._1.toLowerCase -> t).toMap
-    val (e1, e2) = (idx.get(event1.toLowerCase), idx.get(event2.toLowerCase))
+    val idx = timeline.map(t => t._1.toLowerCase(java.util.Locale.ROOT) -> t).toMap
+    val (e1, e2) = (idx.get(event1.toLowerCase(java.util.Locale.ROOT)), idx.get(event2.toLowerCase(java.util.Locale.ROOT)))
     if (e1.isEmpty || e2.isEmpty) return None
     relations.foreach { case (s, rel, o) =>
       if (s.equalsIgnoreCase(event1) && o.equalsIgnoreCase(event2)) {

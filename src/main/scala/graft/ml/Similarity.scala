@@ -200,7 +200,13 @@ object Similarity {
       }
     }
       .toDF("a", "b", "cos_raw")
-      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos"))
+      // explicit floor form, not Spark round(): the same cross-engine
+      // rounding policy as Dedup.minhashNearDups — Spark round() is
+      // BigDecimal HALF_UP on the decimal repr, DuckDB round() multiplies
+      // the binary value; two identical floor expressions can only
+      // diverge if the raw doubles differ (round-5 review)
+      .select(col("a"), col("b"),
+        (floor(col("cos_raw") * 10000 + lit(0.5)) / 10000.0).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -241,7 +247,8 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("b"), col("embedding").as("emb_b")),
         Seq("b"))
       .select(col("a"), col("b"),
-        round(graft.functions.GraftFunctions.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+        (floor(graft.functions.GraftFunctions.cosine(col("emb_a"),
+          col("emb_b")) * 10000 + lit(0.5)) / 10000.0).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

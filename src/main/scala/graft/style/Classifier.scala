@@ -116,7 +116,7 @@ object Classifier {
   }
 
   def classify(text: String): Classification = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val scores = Seq(
       "dialogue" -> scoreDialogue(text, lower),
       "action" -> scoreAction(lower),
@@ -138,8 +138,12 @@ object Classifier {
       scores(5)._2)
   }
 
+  // explicit floor form, not BigDecimal HALF_UP: the repo-wide
+  // cross-engine rounding policy (see Metrics.floor4) — both engines
+  // compute the identical IEEE multiply then floor, so they can only
+  // diverge if the raw doubles differ (round-5 review)
   private def r4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.floor(x * 10000 + 0.5) / 10000.0
 
   /** Spark stage: per-passage classification rows — ALL six scorer columns
     * (round-1 review: description/reflection were dropped), doubles rounded

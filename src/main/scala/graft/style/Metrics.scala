@@ -57,7 +57,7 @@ object Metrics {
     * silent-e and -le adjustments, min 1.
     */
   def syllables(word: String): Int = {
-    val w = word.toLowerCase.filter(_.isLetter)
+    val w = word.toLowerCase(java.util.Locale.ROOT).filter(_.isLetter)
     if (w.isEmpty) return 0
     var groups = 0
     var prevVowel = false

@@ -54,20 +54,20 @@ object Dialogue {
       contextAfter: String): (Option[String], Option[String], Double) = {
     val m1 = AfterPat.matcher(contextAfter)
     if (m1.find())
-      return (Some(m1.group(2)), Some(m1.group(1).toLowerCase), 0.9)
+      return (Some(m1.group(2)), Some(m1.group(1).toLowerCase(java.util.Locale.ROOT)), 0.9)
     val m2 = BeforePat.matcher(contextBefore)
     if (m2.find())
-      return (Some(m2.group(1)), Some(m2.group(2).toLowerCase), 0.9)
+      return (Some(m2.group(1)), Some(m2.group(2).toLowerCase(java.util.Locale.ROOT)), 0.9)
     val m3 = AfterVerbPat.matcher(contextAfter)
     if (m3.find())
-      return (Some(m3.group(2)), Some(m3.group(1).toLowerCase), 0.7)
+      return (Some(m3.group(2)), Some(m3.group(1).toLowerCase(java.util.Locale.ROOT)), 0.7)
 
     def names(s: String): Seq[String] = {
       val m = NamePat.matcher(s)
       val b = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) b += m.group(1)
       b.toSeq.filter(n =>
-        !Lexicon.NonNames.contains(n.toLowerCase) && n.length > 1)
+        !Lexicon.NonNames.contains(n.toLowerCase(java.util.Locale.ROOT)) && n.length > 1)
     }
     val after = names(contextAfter.take(30))
     if (after.nonEmpty) return (Some(after.head), None, 0.4)

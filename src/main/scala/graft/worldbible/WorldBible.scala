@@ -297,7 +297,7 @@ object WorldBible {
     * search over the rules table's text and category.
     */
   def searchRules(rules: DataFrame, query: String): DataFrame = {
-    val q = query.toLowerCase
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     rules.filter(lower(col("rule_text")).contains(q) ||
       lower(col("category")).contains(q))
   }

@@ -21,6 +21,24 @@ class SeedsSpec extends SparkSpec {
     assert(rows.contains(("mithrandir", "gandalf", "character", "Gandalf")))
   }
 
+  test("malformed seed rows: missing names dropped, empty aliases skipped (round-5 review)") {
+    val dir = Files.createTempDirectory("seedsbad")
+    // row without canonical_name (previously NPE'd in aliasRows), row
+    // without id, and an empty-string alias (previously registered an
+    // empty Aho-Corasick pattern firing a zero-width mention at every
+    // text position)
+    Files.writeString(dir.resolve("bad.json"),
+      """[{"id":"x1","aliases":["ok-alias"]},
+        |{"canonical_name":"NoId"},
+        |{"id":"y","canonical_name":"Ypsilon","aliases":["", "  ", "Real"]}]"""
+        .stripMargin)
+    val seeds = Seeds.fromJson(spark, dir.resolve("bad.json").toString,
+      "character")
+    assert(seeds.map(_.id) == Seq("y"))
+    val rows = Seeds.aliasRows(seeds)
+    assert(rows.map(_._1).toSet == Set("ypsilon", "real"))
+  }
+
   test("D10/S6: registry exports back to seed-JSON shape") {
     import spark.implicits._
     val registry = Seq(
