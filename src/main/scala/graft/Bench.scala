@@ -152,8 +152,10 @@ object Bench {
            else allPairs.map(_.role).mkString(", ")) +
           "); set SPARK_GRAFT_SCALING=0 to silence")
     val scalingOn = doScaling && pairs.nonEmpty
+    // getName, not endsWith: a trailing slash in SPARK_GRAFT_SF_DIR must
+    // not silently select the 6x-heavier rep-96 default (round-5 review)
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALING_REP",
-      if (sfDir.endsWith("sf0.1")) "16" else "96").toInt
+      if (new java.io.File(sfDir).getName == "sf0.1") "16" else "96").toInt
 
     // Materialize corpora to parquet ONCE — the engine's input contract is
     // a stored table, so every measured window (headline AND scaling legs)
@@ -164,8 +166,11 @@ object Bench {
     // synthesis itself is a sandbox artifact and is excluded from all
     // measured windows symmetrically.)
     // content fingerprint in the cache path: regenerated testdata at the
-    // same path must not silently reuse a stale cached corpus (ADVICE r01)
-    val liLen = new java.io.File(s"$sfDir/lineitem.parquet").length()
+    // same path must not silently reuse a stale cached corpus (ADVICE
+    // r01). Size AND mtime, like Pipeline.inputFingerprint — regenerated
+    // data can land on the same byte length (round-5 review)
+    val liFile = new java.io.File(s"$sfDir/lineitem.parquet")
+    val liLen = s"${liFile.length()}_${liFile.lastModified()}"
     // synthesis-version component: the r3 scaling corpus went STALE when
     // the corpus templates changed but the input parquet did not (the
     // fingerprint covered data, not code) — r3 measured a 16x-replica of
@@ -363,17 +368,32 @@ object Bench {
     // so one sustained spike cannot hit both samples of the same query.
     val names = if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
                 else Seq.empty
+    // a failed query must NOT record its time-to-exception as a timing —
+    // that would commit a broken query to the bench record disguised as a
+    // fast one (round-5 review). Failures are tracked by name, warned,
+    // and emitted under "query_failures" instead of "queries".
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def queryPass(): Map[String, Double] = names.map { name =>
-      val (_, t) = timed {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+      val (ok, t) = timed {
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] WARNING query $name FAILED: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            failed += name
+            false
+        }
       }
-      name -> t
+      name -> (if (ok) t else Double.NaN)
     }.toMap
     val passResults = (1 to 2).map(_ => queryPass())
-    val results = names.map(n => n -> passResults.map(_(n)).min)
+    val results = names.filterNot(failed.contains)
+      .map(n => n -> passResults.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","query_failures":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
     val scaling =
       if (scalingOn) {
@@ -420,7 +440,7 @@ object Bench {
     }
 
     println(
-      f"""{"metric":"triples_per_sec","value":$tps%.1f,"unit":"triples/sec","queries":$qs,"stage_build_sec":$stageJson,"triples_extract_sec":$triplesSec%.3f,"query_passes":2,"sf":"$sfDir","pipeline_sec":$tHigh%.3f,"triples":$triples$scaling$skewJson,"loadavg":[$loadStart%.2f,$loadEnd%.2f]}""")
+      f"""{"metric":"triples_per_sec","value":$tps%.1f,"unit":"triples/sec","queries":$qs$failedJson,"stage_build_sec":$stageJson,"triples_extract_sec":$triplesSec%.3f,"query_passes":2,"sf":"$sfDir","pipeline_sec":$tHigh%.3f,"triples":$triples$scaling$skewJson,"loadavg":[$loadStart%.2f,$loadEnd%.2f]}""")
     spark.stop()
   }
 }

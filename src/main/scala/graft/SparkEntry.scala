@@ -62,6 +62,20 @@ object SparkEntry {
           "max_words", "total_words", "total_chars", "unique_words",
           "type_token_ratio", "avg_word_len", "contraction_ratio",
           "first_person_ratio", "second_person_ratio", "archaism_count")),
+    // V10 compare_voices (round-5 review: SQL-expressible but previously
+    // unit-covered only); doubles floor-4dp'd for the oracle compare
+    "q56_compare_voices" -> ((s, dir) => {
+      val f4 = graft.style.Metrics.floor4 _
+      graft.voice.Profiles.compareVoices(
+        graft.voice.Dialogue.voiceProfiles(s,
+          graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF()))
+        .select(col("speaker_a"), col("speaker_b"),
+          f4(col("utterance_length_diff")).as("utterance_length_diff"),
+          f4(col("question_ratio_diff")).as("question_ratio_diff"),
+          f4(col("type_token_ratio_diff")).as("type_token_ratio_diff"),
+          f4(col("contraction_ratio_diff")).as("contraction_ratio_diff"),
+          f4(col("similarity")).as("similarity"))
+    }),
     "q41_voice_stats" -> ((s, dir) =>
       graft.voice.Dialogue.voiceStats(s,
         graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
@@ -482,15 +496,20 @@ object SparkEntry {
     */
   private[graft] val q51Names: Seq[String] = ('A' to 'T').map(c => s"${c}aron")
 
-  private def sqlStrList(xs: Seq[String]): String =
-    xs.map(x => "'" + sq(x) + "'").mkString("[", ", ", "]")
+  // one SQL string-escaping implementation repo-wide (round-5 review)
+  private def sqlStrList(xs: Seq[String]): String = Lexicon.sqlList(xs)
 
   private def voiceStopSql: String = sqlStrList(Lexicon.VoiceStopWords)
 
   /** Full V5 voice-profile oracle select (over the dlg CTE) — mirrors
     * Dialogue.voiceProfiles' word semantics in DuckDB list functions.
+    * Split as CTE chain + final select so q56 can wrap the profile
+    * derivation as its own CTE.
     */
-  private def voiceProfileOracleSelect: String = {
+  private def voiceProfileOracleSelect: String =
+    voiceProfileCtes + "\n" + voiceProfileFinalSelect
+
+  private def voiceProfileCtes: String = {
     val strip = """regexp_replace(w, '^[.,!?"'']+|[.,!?"'']+$', '', 'g')"""
     val stripLen = """regexp_replace(w, '^[.,!?"''-]+|[.,!?"''-]+$', '', 'g')"""
     val contr = Lexicon.ContractionPatterns
@@ -506,7 +525,7 @@ object SparkEntry {
        |        w -> list_contains(${sqlStrList(Lexicon.FirstPersonWords)}, w))) AS fp,
        |    len(list_filter(list_transform(ws, w -> $strip),
        |        w -> list_contains(${sqlStrList(Lexicon.SecondPersonWords)}, w))) AS sp,
-       |    len(list_filter(list_transform(ws, w -> $strip),
+       |    len(list_filter(ws,
        |        w -> list_contains(${sqlStrList(Lexicon.VoiceArchaisms)}, w))) AS arch,
        |    list_sum(list_transform(ws, w -> length($stripLen))) AS wlen
        |  FROM words
@@ -530,8 +549,11 @@ object SparkEntry {
        |    CAST(sum(arch) AS BIGINT) AS archaism_count,
        |    sum(wlen) AS wlen_sum
        |  FROM lines GROUP BY 1 HAVING count(*) >= 3
-       |)
-       |SELECT p.speaker, total_lines, questions, exclamations, statements,
+       |)""".stripMargin
+  }
+
+  private def voiceProfileFinalSelect: String =
+    s"""SELECT p.speaker, total_lines, questions, exclamations, statements,
        |  avg_words, utterance_std, min_words, max_words, total_words,
        |  total_chars, u.unique_words,
        |  floor(u.unique_words::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS type_token_ratio,
@@ -541,6 +563,27 @@ object SparkEntry {
        |  floor(second_person::DOUBLE / total_words * 10000 + 0.5) / 10000.0 AS second_person_ratio,
        |  archaism_count
        |FROM per p JOIN uniqw u USING (speaker)""".stripMargin
+
+  /** q56 oracle: the V10 pairwise voice comparison over the q12 profile
+    * derivation wrapped as a CTE — same 4-diff blend as
+    * Profiles.compareVoices, floor-4dp on both sides.
+    */
+  private def compareVoicesOracleSql: String = {
+    def f4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
+    val d1 = "abs(a.avg_words - b.avg_words) / 20.0"
+    val d2 = "abs(a.questions::DOUBLE / a.total_lines - b.questions::DOUBLE / b.total_lines)"
+    val d3 = "abs(a.type_token_ratio - b.type_token_ratio)"
+    val d4 = "abs(a.contraction_ratio - b.contraction_ratio)"
+    s"""$voiceProfileCtes, prof AS (
+       |$voiceProfileFinalSelect
+       |)
+       |SELECT a.speaker AS speaker_a, b.speaker AS speaker_b,
+       |  ${f4(d1)} AS utterance_length_diff,
+       |  ${f4(d2)} AS question_ratio_diff,
+       |  ${f4(d3)} AS type_token_ratio_diff,
+       |  ${f4(d4)} AS contraction_ratio_diff,
+       |  ${f4(s"1.0 - (($d1) + ($d2) + ($d3) + ($d4)) / 4.0")} AS similarity
+       |FROM prof a JOIN prof b ON a.speaker < b.speaker""".stripMargin
   }
 
   private val eraOrdSql: String => String = col =>
@@ -713,7 +756,12 @@ object SparkEntry {
     * words, syllables, complex_words, flesch, fk_grade, gunning_fog)`.
     */
   private def readabilityCtes(groupExpr: String, groupAlias: String): String = {
-    val w = "regexp_replace(lower(w0), '[^a-z]', '', 'g')"
+    // keep ALL letters, not just a-z: Metrics.syllables filters with
+    // Character.isLetter, so an accented letter is a (consonant) letter
+    // on the engine side — stripping it here would silently diverge the
+    // vowel-group count the moment a non-ASCII character enters the
+    // corpus (round-5 review; \p{L} is RE2's Unicode letter class)
+    val w = """regexp_replace(lower(w0), '[^\p{L}]', '', 'g')"""
     val syll = "CASE WHEN length(w) = 0 THEN 0 ELSE greatest(1, len(regexp_extract_all(w, '[aeiouy]+')) - CASE WHEN w LIKE '%e' AND NOT w LIKE '%le' AND len(regexp_extract_all(w, '[aeiouy]+')) > 1 THEN 1 ELSE 0 END) END"
     (
       s""", toks AS (
@@ -1606,6 +1654,7 @@ object SparkEntry {
           |       attribution_confidence, is_question, is_exclamation
           |FROM dlg""".stripMargin),
       "q12_voice_profiles" -> withDialogue(voiceProfileOracleSelect),
+      "q56_compare_voices" -> withDialogue(compareVoicesOracleSql),
       "q41_voice_stats" -> withDialogue(
         """SELECT CAST(count(*) AS BIGINT) AS total_dialogue_lines,
           |  CAST(sum(CASE WHEN speaker IS NULL THEN 1 ELSE 0 END) AS BIGINT)

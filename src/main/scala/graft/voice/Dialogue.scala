@@ -131,8 +131,9 @@ object Dialogue {
     * type ratios, vocabulary (unique words, TTR, avg word length),
     * formality (contraction/1st/2nd-person ratios) and archaism counts.
     * Word semantics match the reference exactly: tokens =
-    * lower(text).split() on whitespace; person/archaism checks strip
-    * `.,!?"'` from both ends; word lengths additionally strip `-`;
+    * lower(text).split() on whitespace; person checks strip `.,!?"'`
+    * from both ends; archaism COUNTS use raw tokens (see below); word
+    * lengths additionally strip `-`;
     * contractions are substring hits per word. Min 3 lines per profile
     * (V9, analyzer.py:141). Double columns rounded to 4dp for
     * cross-engine comparability.
@@ -156,7 +157,12 @@ object Dialogue {
         w => w.isin(Lexicon.FirstPersonWords: _*))))
       .withColumn("sp", size(filter(transform(col("ws"), strip),
         w => w.isin(Lexicon.SecondPersonWords: _*))))
-      .withColumn("arch", size(filter(transform(col("ws"), strip),
+      // archaism_count counts RAW tokens (profile.py:199: word_counts is
+      // a Counter over unstripped tokens; the stripped-match found-set
+      // reduces to exactly "raw token is an archaism", since any raw hit
+      // also strip-matches) — "aye." contributes to archaisms_FOUND but
+      // not to the count (round-5 review: we counted stripped hits)
+      .withColumn("arch", size(filter(col("ws"),
         w => w.isin(Lexicon.VoiceArchaisms: _*))))
       .withColumn("wlen",
         aggregate(transform(col("ws"), stripLen), lit(0), (acc, x) => acc + x))
