@@ -112,7 +112,14 @@ object Triples {
     // candidate noun phrases: (det-widened) mentions + det-chunks
     val nps = scala.collection.mutable.ArrayBuffer.empty[Np]
     val mentionNps = mentions.map { m =>
-      val pm = DetPrefix.matcher(text.substring(0, m.start))
+      // region(), not substring(): identical match semantics (anchoring
+      // bounds are on by default, so `$` matches at the region end and
+      // `\b` sees the region edge exactly like a string boundary) without
+      // copying up-to-the-mention text once per mention in the extraction
+      // hot loop (round-5 GC work: the 16-thread scaling leg is
+      // allocation-bound)
+      val pm = DetPrefix.matcher(text)
+      pm.region(0, m.start)
       val widened =
         if (pm.find()) {
           val mods = pm.group(2).split("\\s+").filter(_.nonEmpty)
