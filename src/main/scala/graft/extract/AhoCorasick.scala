@@ -61,13 +61,34 @@ final class AhoCorasick(patterns: IndexedSeq[String]) extends Serializable {
       val c = text.charAt(i)
       while (node != 0 && !children(node).contains(c)) node = fail(node)
       node = children(node).getOrElse(c, 0)
-      outs(node).foreach { pi =>
+      // manual List walk: a `foreach` closure here captures the loop var
+      // and is allocated once per CHARACTER of every passage (measured
+      // ~2% of the scaling leg's sampled allocation; round-5 JFR)
+      var o = outs(node)
+      while (o.nonEmpty) {
+        val pi = o.head
         hits += ((pi, i - patterns(pi).length + 1))
+        o = o.tail
       }
       i += 1
     }
-    hits.sortInPlaceBy(h => (h._1, h._2)).toSeq
+    // field-wise comparator: sortInPlaceBy(tuple) boxed a Tuple2 per
+    // comparison; ordering identical ((_1, _2) lexicographic)
+    hits.sortInPlace()(AhoCorasick.HitOrder).toSeq
   }
+}
+
+object AhoCorasick {
+  /** (patternIndex, start) lexicographic — identical to the former
+    * sortInPlaceBy(h => (h._1, h._2)) without boxing a tuple per compare.
+    */
+  private[extract] val HitOrder: Ordering[(Int, Int)] =
+    new Ordering[(Int, Int)] {
+      def compare(a: (Int, Int), b: (Int, Int)): Int = {
+        val c = Integer.compare(a._1, b._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      }
+    }
 }
 
 /** A broadcast-friendly gazetteer: alias entries + the compiled automaton.

@@ -17,12 +17,53 @@ final class LocalLinker(seeds: Seq[SeedEntity]) extends Serializable {
   private val byFirst: Map[Char, Seq[String]] =
     index.keys.toSeq.sorted.groupBy(_.head)
 
-  private def cleanKey(text: String): String =
-    text.trim.split("\\s+").mkString(" ")
-      .replaceAll("'s$", "").trim.toLowerCase(java.util.Locale.ROOT)
+  /** Exactly `text.trim.split("\\s+").mkString(" ").replaceAll("'s$", "")
+    * .trim.toLowerCase(ROOT)` — the SQL twin is Linker.cleanKey — as one
+    * char-array pass with no per-call Pattern compile. This runs once per
+    * mention inside the fused extraction and was the single largest
+    * allocation site of the 16-thread scaling leg (~19% of sampled bytes:
+    * two Pattern compiles + split array + mkString per call; round-5 JFR).
+    * Equivalence is property-tested in HotSpec.
+    */
+  private[extract] def cleanKey(text: String): String = {
+    // String.trim bounds (drops c <= ' ' both ends; regex \s is a subset)
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) <= ' ') from += 1
+    while (to > from && text.charAt(to - 1) <= ' ') to -= 1
+    if (from == to) return ""
+    // collapse java-regex \s runs to single ' ' (split("\\s+")+mkString)
+    val buf = new Array[Char](to - from)
+    var n = 0
+    var i = from
+    while (i < to) {
+      val c = text.charAt(i)
+      if (Hot.isRegexWs(c)) {
+        buf(n) = ' '
+        n += 1
+        i += 1
+        while (i < to && Hot.isRegexWs(text.charAt(i))) i += 1
+      } else {
+        buf(n) = c
+        n += 1
+        i += 1
+      }
+    }
+    // replaceAll("'s$", "") — drop one trailing "'s"
+    if (n >= 2 && buf(n - 1) == 's' && buf(n - 2) == '\'') n -= 2
+    // final .trim — dropping "'s" can expose trailing c <= ' '
+    while (n > 0 && buf(n - 1) <= ' ') n -= 1
+    if (n == 0) "" else new String(buf, 0, n).toLowerCase(java.util.Locale.ROOT)
+  }
 
+  /** Exactly `k.replaceFirst("^(the |a |an )", "")` — the three prefixes
+    * are mutually exclusive, so ordered startsWith checks are equivalent.
+    */
   private def stripArticle(k: String): String =
-    k.replaceFirst("^(the |a |an )", "")
+    if (k.startsWith("the ")) k.substring(4)
+    else if (k.startsWith("an ")) k.substring(3)
+    else if (k.startsWith("a ")) k.substring(2)
+    else k
 
   /** Returns (canonical_id, entity_type, canonical_name, confidence). */
   def lookup(text: String): Option[(String, String, String, Double)] = {

@@ -79,51 +79,98 @@ object Triples {
     * extraction hot loop (round-5 review; same allocation discipline as
     * the DetPrefix index walk above).
     */
-  private def findEntity(text: String, byKey: Seq[(String, Arg)]): Option[Arg] = {
+  private def findEntity(
+      text: String, byKey: Array[(String, Arg)]): Option[Arg] = {
     val t = text.toLowerCase(java.util.Locale.ROOT).trim
-    byKey.find(_._1 == t).map(_._2)
-      .orElse {
-        val stripped = Seq("the ", "a ", "an ").collectFirst {
-          case p if t.startsWith(p) => t.substring(p.length)
-        }
-        stripped.flatMap(s => byKey.find(_._1 == s).map(_._2))
+    // index walks, not Seq.find: a closure capturing `t` was allocated up
+    // to 3x per findEntity call in the hot loop (round-5 JFR)
+    var i = 0
+    while (i < byKey.length) {
+      if (byKey(i)._1 == t) return Some(byKey(i)._2)
+      i += 1
+    }
+    // article-strip tier: replaceFirst-equivalent prefix ladder (the three
+    // prefixes are mutually exclusive)
+    val s =
+      if (t.startsWith("the ")) t.substring(4)
+      else if (t.startsWith("an ")) t.substring(3)
+      else if (t.startsWith("a ")) t.substring(2)
+      else null
+    if (s != null) {
+      i = 0
+      while (i < byKey.length) {
+        if (byKey(i)._1 == s) return Some(byKey(i)._2)
+        i += 1
       }
-      .orElse(byKey.find { case (k, _) => k.contains(t) || t.contains(k) }
-        .map(_._2))
+    }
+    i = 0
+    while (i < byKey.length) {
+      val k = byKey(i)._1
+      if (k.contains(t) || t.contains(k)) return Some(byKey(i)._2)
+      i += 1
+    }
+    None
   }
 
   /** Pure per-passage extractor — unit-testable without Spark. */
   private[extract] def extract(
       text: String,
       mentions: Seq[Arg]): Seq[(String, String, Option[Arg], String, Option[Arg], String)] = {
-    // quote regions (for argument/attribution scoping)
-    val quotes = {
-      val q = QuoteRegion.matcher(text)
-      val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      while (q.find()) b += ((q.start, q.end))
-      b.toSeq
+    // quote regions (for argument/attribution scoping) — primitive arrays
+    // + index-walk quoteOf: the indexWhere closure captured `p` and was
+    // allocated once per lookup in the verb loop (round-5 JFR)
+    val (qStarts, qEnds) = {
+      val q = Hot.of(QuoteRegion, text)
+      val s = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val e = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (q.find()) { s += q.start; e += q.end }
+      (s.toArray, e.toArray)
     }
-    def quoteOf(p: Int): Int = quotes.indexWhere(r => p >= r._1 && p < r._2)
+    def quoteOf(p: Int): Int = {
+      var i = 0
+      while (i < qStarts.length) {
+        if (p >= qStarts(i) && p < qEnds(i)) return i
+        i += 1
+      }
+      -1
+    }
 
     // built once per passage, shared by every findEntity call
-    val mentionsByKey =
-      mentions.map(a => a.text.toLowerCase(java.util.Locale.ROOT) -> a)
+    val mentionsByKey = mentions.iterator
+      .map(a => a.text.toLowerCase(java.util.Locale.ROOT) -> a).toArray
 
     // candidate noun phrases: (det-widened) mentions + det-chunks
     val nps = scala.collection.mutable.ArrayBuffer.empty[Np]
+    // ONE reused matcher for every mention (a fresh Matcher per MENTION
+    // was the single densest Matcher-churn site; round-5 JFR).
+    // Matcher.region() clears match state before setting bounds, so each
+    // mention sees exactly the state `DetPrefix.matcher(text).region(0,
+    // m.start)` produced; anchoring bounds stay at their default (on), so
+    // `$` matches at the region end and `\b` sees the region edge exactly
+    // like a string boundary — identical semantics to the substring the
+    // pre-round-5 code copied per mention.
+    val pm = Hot.of(DetPrefix, text)
     val mentionNps = mentions.map { m =>
-      // region(), not substring(): identical match semantics (anchoring
-      // bounds are on by default, so `$` matches at the region end and
-      // `\b` sees the region edge exactly like a string boundary) without
-      // copying up-to-the-mention text once per mention in the extraction
-      // hot loop (round-5 GC work: the 16-thread scaling leg is
-      // allocation-bound)
-      val pm = DetPrefix.matcher(text)
       pm.region(0, m.start)
       val widened =
         if (pm.find()) {
-          val mods = pm.group(2).split("\\s+").filter(_.nonEmpty)
-          if (mods.forall(w => !Lexicon.VerbToRelationship.contains(w.toLowerCase(java.util.Locale.ROOT))))
+          // group(2) is (?:[a-z]+(?:'[a-z]+)?\s+){0,3} — words are
+          // lowercase-ASCII by construction, so the lexicon probe needs no
+          // toLowerCase; the former group(2).split("\\s+") recompiled a
+          // Pattern and allocated a String[] per mention (round-5 JFR)
+          var allMods = true
+          var i = pm.start(2)
+          val e2 = pm.end(2)
+          while (allMods && i < e2) {
+            while (i < e2 && Hot.isRegexWs(text.charAt(i))) i += 1
+            var we = i
+            while (we < e2 && !Hot.isRegexWs(text.charAt(we))) we += 1
+            if (we > i &&
+              Lexicon.VerbToRelationship.contains(text.substring(i, we)))
+              allMods = false
+            i = we
+          }
+          if (allMods)
             Some(Np(text.substring(pm.start, m.end), pm.start, m.end,
               fromMention = true))
           else None
@@ -131,7 +178,7 @@ object Triples {
       widened.getOrElse(Np(m.text, m.start, m.end, fromMention = true))
     }
     mentionNps.foreach(nps += _)
-    val dm = DetChunk.matcher(text)
+    val dm = Hot.of(DetChunk, text)
     while (dm.find()) {
       // the greedy two-word group would swallow a following lexicon verb
       // into the NP ("The dragon attacked Smaug" -> chunk "The dragon
@@ -173,37 +220,62 @@ object Triples {
         nps += Np(text.substring(dm.start, chunkEnd), dm.start, chunkEnd,
           fromMention = false)
     }
-    val sortedNps = nps.sortBy(_.start).toSeq
+    // start-sorted NP array with each NP's quote region precomputed ONCE:
+    // the former per-verb `sortedNps.filter(...).sortBy(...)` pair
+    // allocated two buffers + a sort per verb token and re-derived
+    // quoteOf(n.start) per (verb, NP) pair (round-5 JFR)
+    val npArr = nps.sortBy(_.start).toArray
+    val npQ = new Array[Int](npArr.length)
+    var npI = 0
+    while (npI < npArr.length) {
+      npQ(npI) = quoteOf(npArr(npI).start)
+      npI += 1
+    }
 
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, Option[Arg], String, Option[Arg], String)]
 
-    val wm = WordToken.matcher(text)
+    val wm = Hot.of(WordToken, text)
     while (wm.find()) {
       val token = wm.group(0)
-      val tLower = token.toLowerCase(java.util.Locale.ROOT)
+      val tLower = Hot.lowerAscii(token)
       Lexicon.VerbToRelationship.get(tLower).foreach { pred =>
         val vStart = wm.start
         val vEnd = wm.end
-        // attribution skip: closing quote (optionally + comma) right before
-        val before = text.substring(math.max(0, vStart - 3), vStart)
-        val isAttribution = before.matches(""".*["”],?\s?""")
+        // attribution skip: closing quote (optionally + comma) right
+        // before — Hot.attributionBefore is the exact allocation-free walk
+        // of the former `window.matches(".*[\"”],?\\s?")` (which compiled
+        // a Pattern per VERB TOKEN; round-5 JFR)
+        val isAttribution = Hot.attributionBefore(text, vStart)
         if (!isAttribution) {
           val vq = quoteOf(vStart)
-          val subj = sortedNps.filter(n => n.end <= vStart && quoteOf(n.start) == vq)
-            .sortBy(n => -n.end).headOption
-          val obj = sortedNps.filter(n => n.start >= vEnd && quoteOf(n.start) == vq)
-            .sortBy(n => n.start).headOption
-          (subj, obj) match {
-            case (Some(s), Some(o)) if !s.text.equalsIgnoreCase(o.text) =>
-              val se = findEntity(s.text, mentionsByKey)
-              val oe = findEntity(o.text, mentionsByKey)
-              if (se.isDefined || oe.isDefined) {
-                val key = s"${s.text.toLowerCase(java.util.Locale.ROOT)}|$pred|${o.text.toLowerCase(java.util.Locale.ROOT)}"
-                if (!out.contains(key))
-                  out(key) = (s.text, pred, se, o.text, oe, token)
-              }
-            case _ =>
+          // subject: max n.end <= vStart (ties -> earliest in start
+          // order, matching the stable sortBy(-n.end).headOption);
+          // object: first in start order with n.start >= vEnd (matching
+          // sortBy(n.start).headOption); both same-quote-region as vStart
+          var subj: Np = null
+          var obj: Np = null
+          var i = 0
+          while (i < npArr.length) {
+            val n = npArr(i)
+            if (npQ(i) == vq) {
+              if (n.end <= vStart && (subj == null || n.end > subj.end))
+                subj = n
+              if (obj == null && n.start >= vEnd) obj = n
+            }
+            i += 1
+          }
+          if (subj != null && obj != null &&
+            !subj.text.equalsIgnoreCase(obj.text)) {
+            val s = subj
+            val o = obj
+            val se = findEntity(s.text, mentionsByKey)
+            val oe = findEntity(o.text, mentionsByKey)
+            if (se.isDefined || oe.isDefined) {
+              val key = s"${s.text.toLowerCase(java.util.Locale.ROOT)}|$pred|${o.text.toLowerCase(java.util.Locale.ROOT)}"
+              if (!out.contains(key))
+                out(key) = (s.text, pred, se, o.text, oe, token)
+            }
           }
         }
       }
