@@ -66,8 +66,14 @@ object Bench {
       // zero rebalancing room (measured 4v16 efficiency 0.73 at one
       // wave). A real 100 TB table has thousands of native splits;
       // sizing splits to give every leg several waves is the faithful
-      // sandbox equivalent, not a tuning trick.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // sandbox equivalent, not a tuning trick. 2m + 1m open cost packs
+      // EXACTLY one ~675k corpus file per split (675k + 1m padding fits
+      // 2m once, not twice) -> 256 scan tasks = 16 whole waves at 16
+      // cores, 64 at 4 — no partial-wave quantization at either leg
+      // (4m/1m packed 2-3 files/split -> 87 tasks = 5.4 waves at 16
+      // cores; the half-idle last wave alone cost the high leg ~8% and
+      // the measured 4v16 ratio sat at 0.70 vs 0.90 with exact waves).
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

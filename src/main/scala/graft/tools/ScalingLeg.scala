@@ -28,7 +28,7 @@ object ScalingLeg {
         // same split sizing as Bench.session so leg shapes match
         // (overridable here to iterate on split-count hypotheses)
         .config("spark.sql.files.maxPartitionBytes",
-          sys.env.getOrElse("LEG_MAX_PART", "4m"))
+          sys.env.getOrElse("LEG_MAX_PART", "2m"))
         .config("spark.sql.files.openCostInBytes",
           sys.env.getOrElse("LEG_OPEN_COST", "1m"))
         .getOrCreate()
