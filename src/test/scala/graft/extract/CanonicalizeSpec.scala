@@ -70,6 +70,47 @@ class CanonicalizeSpec extends SparkSpec {
       ("strider", "aragorn"), ("gollum", "smeagol")))
   }
 
+  test("alias keyword gate: gated scan == ungated 4-regex scan on " +
+    "adversarial variants (round-5 literal-prefilter)") {
+    import spark.implicits._
+    // the raw, ungated reference scan (the pre-gate implementation)
+    def ungated(text: String): Seq[(String, String)] = {
+      val ps = Seq(
+        """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+whose\s+(?:real\s+)?name\s+was\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""",
+        """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s*\((?:also\s+)?(?:known|called)\s+(?:as\s+)?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\)""",
+        """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+or\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+as\s+(?:he|she|they)\s+(?:was|were)\s+(?:called|known)""",
+        """([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*),?\s+(?:whom|who)\s+(?:they|we|people)\s+(?:called|named)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""")
+      ps.flatMap { src =>
+        val m = java.util.regex.Pattern.compile(src).matcher(text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (m.find()) b += ((m.group(1).toLowerCase(java.util.Locale.ROOT),
+          m.group(2).toLowerCase(java.util.Locale.ROOT)))
+        b
+      }
+    }
+    // matching, near-miss, separator, and case variants around the gate
+    // literals — a gate that over-filters drops a row here
+    val texts = Seq(
+      "Aragorn, whose real name was Elessar, rode on.",
+      "Aragorn, whose\tname\twas Elessar, rode on.",
+      "Aragorn whose name  was Elessar.",
+      "Aragorn, whose NAME was Elessar.", // regex is case-sensitive: no match
+      "Gandalf (also known as Mithrandir) rested.",
+      "Gandalf (called Mithrandir) rested.",
+      "Gandalf (KNOWN as Mithrandir).",
+      "Strider, or Aragorn as he was called, stood up.",
+      "Strider, or Aragorn as they were known, stood up.",
+      "Gollum, whom they called Smeagol, crept away.",
+      "Gollum, who people named Smeagol, crept away.",
+      "He renamed the town.", "A well-known fact.", "So-called experts.",
+      "no keywords here at all", "")
+    texts.foreach { t =>
+      val gated = Canonicalize.aliasPairs(spark, Seq(t).toDF("text"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(gated === ungated(t).toSet, s"text=$t")
+    }
+  }
+
   test("connected components: transitive closure, order-independent") {
     import spark.implicits._
     val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("node")
