@@ -12,7 +12,33 @@ import java.util.regex.{Matcher, Pattern}
   * `String` idiom, asserted by the existing extraction specs plus the
   * dedicated equivalence specs in HotSpec.
   */
-private[extract] object Hot {
+private[graft] object Hot {
+
+  /** Case-insensitive ASCII `contains`: true iff `text` contains
+    * `needleLower` under ASCII case folding. Exact gate for a Java-regex
+    * CASE_INSENSITIVE (without UNICODE_CASE) literal: that mode folds
+    * case for ASCII only, so a lowercase-ASCII needle matches exactly
+    * where this scan says it does. `needleLower` must be lowercase ASCII.
+    */
+  def containsIgnoreCaseAscii(text: String, needleLower: String): Boolean = {
+    val n = text.length
+    val m = needleLower.length
+    if (m == 0) return true
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        var c = text.charAt(i + j)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != needleLower.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
 
   /** Per-thread Matcher reuse: `of(P, text)` returns P's thread-local
     * Matcher reset onto `text` — the exact state `P.matcher(text)` returns,

@@ -57,10 +57,23 @@ object Events {
     */
   def EraOrder: Map[String, Int] = Temporal.EraOrder
 
-  /** extract_year (E6): first pattern with a match. */
+  /** extract_year (E6): first pattern with a match. Every year pattern
+    * requires a `\d+` group (java-regex `\d` = [0-9] exactly without
+    * UNICODE_CHARACTER_CLASS), so a digit-free passage — the common case —
+    * skips all three scans (round-5 literal-gate pass; equivalence
+    * spec-tested in EventsSpec).
+    */
   private[lore] def extractYear(text: String): (Option[Int], Option[String]) = {
+    var hasDigit = false
+    var di = 0
+    while (!hasDigit && di < text.length) {
+      val c = text.charAt(di)
+      if (c >= '0' && c <= '9') hasDigit = true
+      di += 1
+    }
+    if (!hasDigit) return (None, None)
     YearPatterns.foreach { p =>
-      val m = p.matcher(text)
+      val m = graft.extract.Hot.of(p, text)
       if (m.find()) {
         var year: Option[Int] = None
         var era: Option[String] = None
@@ -89,13 +102,22 @@ object Events {
   private[lore] def extract(text: String): Seq[(String, String, String)] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
     patterns.foreach { case (verb, p) =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val agent = m.group(1)
-        val patient = m.group(2)
-        val norm = s"${agent.toLowerCase(java.util.Locale.ROOT)}|${verb.stripSuffix("ed").stripSuffix("s")}|${
-          patient.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")}"
-        if (!seen.contains(norm)) seen(norm) = (agent, verb, patient)
+      // each per-verb pattern embeds the verb verbatim (case-SENSITIVE),
+      // so a passage without the literal cannot match — one cheap
+      // `contains` replaces the regex scan for the ~all verbs a passage
+      // does not use (31 scans/passage before; round-5 literal-gate pass,
+      // equivalence spec-tested in EventsSpec). Skipping absent verbs
+      // preserves `seen` insertion order: skipped verbs contribute no
+      // matches either way.
+      if (text.contains(verb)) {
+        val m = graft.extract.Hot.of(p, text)
+        while (m.find()) {
+          val agent = m.group(1)
+          val patient = m.group(2)
+          val norm = s"${agent.toLowerCase(java.util.Locale.ROOT)}|${verb.stripSuffix("ed").stripSuffix("s")}|${
+            patient.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")}"
+          if (!seen.contains(norm)) seen(norm) = (agent, verb, patient)
+        }
       }
     }
     seen.values.toSeq

@@ -67,28 +67,54 @@ object Temporal {
     * kind ∈ {birth, death, lived}. Pure function.
     */
   private[lore] def extractFacts(text: String): Seq[(String, String, String)] = {
+    import graft.extract.Hot
+    // literal gates (round-5 pass; equivalence spec-tested in
+    // TemporalSpec): every fact pattern ends in `(\w+\s+Age)`, so a
+    // passage without a case-folded "age" cannot match any of the six —
+    // one cheap CI-ASCII scan replaces six regex scans on the common
+    // case. Within the gate, each family requires its own verb literal
+    // (CASE_INSENSITIVE without UNICODE_CASE folds ASCII only, which
+    // containsIgnoreCaseAscii reproduces exactly). LivedPatterns' second
+    // pattern ("X of the Y Age") has no verb literal, so the lived family
+    // runs whenever "age" is present.
+    if (!Hot.containsIgnoreCaseAscii(text, "age")) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     def scan(ps: Seq[Pattern], kind: String): Unit = ps.foreach { p =>
-      val m = p.matcher(text)
+      val m = Hot.of(p, text)
       while (m.find()) {
         eraFromText(m.group(2)).foreach(e => out += ((kind, m.group(1), e)))
       }
     }
     // death pattern 2 has (era-less) group order quirks avoided by the
     // shared (name, era) group layout of all compiled patterns above
-    scan(BirthPatterns, "birth")
-    scan(DeathPatterns, "death")
+    if (Hot.containsIgnoreCaseAscii(text, "born") ||
+      Hot.containsIgnoreCaseAscii(text, "world"))
+      scan(BirthPatterns, "birth")
+    if (DeathGates.exists(Hot.containsIgnoreCaseAscii(text, _)))
+      scan(DeathPatterns, "death")
     scan(LivedPatterns, "lived")
     out.toSeq
   }
 
+  private val DeathGates = Seq("died", "fell", "perished", "death", "end")
+
+  /** Each ORDER pattern requires its relation word verbatim (modulo ASCII
+    * case folding): (pattern, relation, gate literal), zipped once.
+    */
+  private val GatedOrderPatterns: Seq[(Pattern, String, String)] =
+    OrderPatterns.zip(Seq("before", "after", "preceded", "followed"))
+      .map { case ((p, rel), gate) => (p, rel, gate) }
+
   /** ORDER-pattern relations from one passage: (subject, relation, object). */
   private[lore] def extractRelations(text: String): Seq[(String, String, String)] =
-    OrderPatterns.flatMap { case (p, rel) =>
-      val m = p.matcher(text)
-      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-      while (m.find()) b += ((m.group(1), rel, m.group(2)))
-      b.toSeq
+    GatedOrderPatterns.flatMap { case (p, rel, gate) =>
+      if (!graft.extract.Hot.containsIgnoreCaseAscii(text, gate)) Nil
+      else {
+        val m = graft.extract.Hot.of(p, text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        while (m.find()) b += ((m.group(1), rel, m.group(2)))
+        b.toSeq
+      }
     }
 
   /** Spark stage: passages -> raw facts (doc_id, pos, kind, name, era). */

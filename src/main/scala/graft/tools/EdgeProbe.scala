@@ -50,6 +50,14 @@ object EdgeProbe {
       graft.extract.Linker.indelRatio(a, b))
     timed("fuzzyEdges")(
       graft.extract.Canonicalize.fuzzyEdges(nodes, 0.90, ratioUdf).count())
+
+    // the other regex-heavy passage scans (events / temporal families)
+    timed("events")(
+      graft.lore.Events.fromPassages(spark, passages).toDF().count())
+    timed("temporal_facts")(
+      graft.lore.Temporal.facts(spark, passages).count())
+    timed("temporal_relations")(
+      graft.lore.Temporal.relations(spark, passages).count())
     spark.stop()
   }
 }

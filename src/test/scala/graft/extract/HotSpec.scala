@@ -69,6 +69,22 @@ class HotSpec extends AnyFunSuite {
     assert(Hot.lowerAscii("İI") === "İI".toLowerCase(java.util.Locale.ROOT))
   }
 
+  test("containsIgnoreCaseAscii == CASE_INSENSITIVE (no UNICODE_CASE) " +
+    "quoted-literal regex find, incl. non-ASCII case oddities") {
+    val needles = Seq("age", "born", "died", "before", "a", "")
+    val refs = needles.map(n => n -> java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(n),
+        java.util.regex.Pattern.CASE_INSENSITIVE)).toMap
+    val directed = Seq("AGE", "Age", "garbage", "the aged king", "AG", "",
+      "İstanbul age", "ße", "bOrN", "BEFOREhand", "b e f o r e", "diedx")
+    (directed ++ randStrings(23, 4000, 10)).foreach { s =>
+      needles.foreach { n =>
+        assert(Hot.containsIgnoreCaseAscii(s, n) === refs(n).matcher(s).find(),
+          s"text=${s.toList.map(_.toInt)} needle=$n")
+      }
+    }
+  }
+
   test("isRegexWs matches java-regex \\s exactly over the BMP") {
     val p = java.util.regex.Pattern.compile("\\s")
     (0 until 0x10000).foreach { i =>

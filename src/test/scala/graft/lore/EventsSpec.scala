@@ -95,4 +95,73 @@ class EventsSpec extends SparkSpec {
       ("e0", "e1", 0.95), // different eras
       ("e1", "e2", 0.9))) // same era, different years; e2~e3 skipped
   }
+
+  test("verb/digit literal gates: gated extract/extractYear == ungated " +
+    "reference scans on adversarial variants (round-5)") {
+    import java.util.regex.Pattern
+    // the pre-gate implementations, verbatim
+    val ungatedPatterns = graft.Lexicon.EventVerbs.distinct.map { verb =>
+      verb -> Pattern.compile(
+        s"""([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)?)\\s+$verb(?:ed|s)?\\s+(?:the\\s+)?([A-Za-z]+(?:\\s+[A-Za-z]+)?)""")
+    }
+    def ungatedExtract(text: String): Seq[(String, String, String)] = {
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, String, String)]
+      ungatedPatterns.foreach { case (verb, p) =>
+        val m = p.matcher(text)
+        while (m.find()) {
+          val agent = m.group(1)
+          val patient = m.group(2)
+          val norm = s"${agent.toLowerCase(java.util.Locale.ROOT)}|${verb.stripSuffix("ed").stripSuffix("s")}|${
+            patient.toLowerCase(java.util.Locale.ROOT).replaceFirst("^(the|a|an) ", "")}"
+          if (!seen.contains(norm)) seen(norm) = (agent, verb, patient)
+        }
+      }
+      seen.values.toSeq
+    }
+    val ungatedYear = Seq(
+      """(?:in\s+)?(?:the\s+)?(?:year\s+)?(\d+)\s+(?:of\s+the\s+)?(?:(First|Second|Third|Fourth)\s+Age|([TFS])\.?A\.?)""",
+      """(?:(First|Second|Third|Fourth)\s+Age)\s+(\d+)""",
+      """([TFS])\.?A\.?\s*(\d+)"""
+    ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+    def ungatedExtractYear(text: String): (Option[Int], Option[String]) = {
+      ungatedYear.foreach { p =>
+        val m = p.matcher(text)
+        if (m.find()) {
+          var year: Option[Int] = None
+          var era: Option[String] = None
+          (1 to m.groupCount).foreach { i =>
+            Option(m.group(i)).foreach { g =>
+              if (g.forall(_.isDigit)) { if (g.length <= 9) year = Some(g.toInt) }
+              else if (era.isEmpty) era = g.toLowerCase(java.util.Locale.ROOT) match {
+                case "first" | "f" => Some("FIRST_AGE")
+                case "second" | "s" => Some("SECOND_AGE")
+                case "third" | "t" => Some("THIRD_AGE")
+                case "fourth" => Some("FOURTH_AGE")
+                case _ => None
+              }
+            }
+          }
+          return (year, era)
+        }
+      }
+      (None, None)
+    }
+    val texts = Seq(
+      "Gandalf killed the Balrog.",
+      "Gandalf Killed the Balrog.", // capitalized verb: neither matches
+      "He retook the city.", // verb inside a word: gate passes, regex rejects
+      "Frodo found it and Sam found it too.",
+      "Aragorn married Arwen in 3019 of the Third Age.",
+      "It happened in Third Age 1000.",
+      "It was T.A. 2941.",
+      "It was the Third Age.", // era words, no digits: no year either way
+      "He said nothing. She told everyone. They fought and won.",
+      "Melkor destroyed the Lamps and fled; Tulkas arrived later.",
+      "no events at all here", "")
+    texts.foreach { t =>
+      assert(Events.extract(t) === ungatedExtract(t), s"extract: $t")
+      assert(Events.extractYear(t) === ungatedExtractYear(t), s"year: $t")
+    }
+  }
 }

@@ -97,4 +97,62 @@ class TemporalSpec extends SparkSpec {
     assert(rows(0).getLong(3) == 0L)
     assert(rows(0).getDouble(5) == 0.0)
   }
+
+  test("age/verb literal gates: gated extractFacts/extractRelations == " +
+    "ungated reference scans on adversarial variants (round-5)") {
+    import java.util.regex.Pattern
+    def compile(ps: Seq[String]) =
+      ps.map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+    val birth = compile(Seq(
+      """(\w+(?:\s+\w+)?)\s+was\s+born\s+(?:in\s+)?(?:the\s+)?(\w+\s+Age)""",
+      """(\w+(?:\s+\w+)?)\s+came\s+into\s+(?:the\s+)?world\s+(?:in\s+)?(?:the\s+)?(\w+\s+Age)"""))
+    val death = compile(Seq(
+      """(\w+(?:\s+\w+)?)\s+(?:died|fell|perished)\s+(?:in\s+)?(?:the\s+)?(\w+\s+Age)""",
+      """(?:death|end)\s+of\s+(\w+(?:\s+\w+)?)\s+(?:in\s+)?(?:the\s+)?(\w+\s+Age)"""))
+    val lived = compile(Seq(
+      """(\w+(?:\s+\w+)?)\s+(?:lived|dwelt)\s+(?:in\s+)?(?:the\s+)?(\w+\s+Age)""",
+      """(\w+(?:\s+\w+)?)\s+(?:of|in)\s+(?:the\s+)?(\w+\s+Age)"""))
+    val orders = Seq(
+      ("""(\w+(?:\s+\w+)?)\s+(?:came\s+)?before\s+(\w+(?:\s+\w+)?)""", "before"),
+      ("""(\w+(?:\s+\w+)?)\s+(?:came\s+)?after\s+(\w+(?:\s+\w+)?)""", "after"),
+      ("""(\w+(?:\s+\w+)?)\s+preceded\s+(\w+(?:\s+\w+)?)""", "before"),
+      ("""(\w+(?:\s+\w+)?)\s+followed\s+(\w+(?:\s+\w+)?)""", "after")
+    ).map { case (p, r) => (Pattern.compile(p, Pattern.CASE_INSENSITIVE), r) }
+    def ungatedFacts(text: String): Seq[(String, String, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      def scan(ps: Seq[Pattern], kind: String): Unit = ps.foreach { p =>
+        val m = p.matcher(text)
+        while (m.find())
+          Temporal.eraFromText(m.group(2)).foreach(e => out += ((kind, m.group(1), e)))
+      }
+      scan(birth, "birth"); scan(death, "death"); scan(lived, "lived")
+      out.toSeq
+    }
+    def ungatedRelations(text: String): Seq[(String, String, String)] =
+      orders.flatMap { case (p, rel) =>
+        val m = p.matcher(text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        while (m.find()) b += ((m.group(1), rel, m.group(2)))
+        b.toSeq
+      }
+    val texts = Seq(
+      "Feanor was born in the First Age.",
+      "FEANOR WAS BORN IN THE FIRST AGE.", // CI fold must gate too
+      "Melkor came into the world in the First Age.",
+      "Turin died in the First Age. Hurin perished in the First Age.",
+      "The death of Feanor in the First Age.",
+      "Elrond lived in the Second Age. Cirdan dwelt in the Third Age.",
+      "Mithrandir of the Third Age spoke.",
+      "He was born in the garbage heap.", // "age" inside a word: gate passes, regex rejects
+      "The aged king fell.", // "age"+"fell" but no era phrase
+      "Feanor came before Fingolfin.",
+      "FINGOLFIN CAME AFTER FEANOR.",
+      "The first preceded the second; the third followed the fourth.",
+      "Beforehand nothing; thereafter nothing.", // gate words inside words
+      "no temporal content", "")
+    texts.foreach { t =>
+      assert(Temporal.extractFacts(t) === ungatedFacts(t), s"facts: $t")
+      assert(Temporal.extractRelations(t) === ungatedRelations(t), s"rels: $t")
+    }
+  }
 }
