@@ -98,7 +98,8 @@ object Pipeline {
   def clusterAssignment(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "clusters") {
       graft.extract.Canonicalize.clusters(
-        spark, textual(spark, sfDir), mentions(spark, sfDir))._1
+        spark, textual(spark, sfDir), mentions(spark, sfDir),
+        pinnedAliasPairs = Some(aliasPairs(spark, sfDir)))._1
     }
 
   /** Mentions linked against the seed registry — materialized once per
@@ -106,6 +107,47 @@ object Pipeline {
   def linked(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "linked") {
       Linker.link(spark, mentions(spark, sfDir))
+    }
+
+  /** Extracted dialogue lines — ONE quote-extraction + 4-tier attribution
+    * pass per (session, dir), shared by the ten-query voice family
+    * (q11/q12/q13/q33/q35/q39/q41/q42/q47/q56). Each consumer previously
+    * re-ran the full regex pass over every textual passage — ten
+    * full-corpus scans at 100 TB where one suffices (VERDICT r05 next #1).
+    */
+  def dialogue(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "dialogue") {
+      graft.voice.Dialogue.fromPassages(spark, textual(spark, sfDir)).toDF()
+    }
+
+  /** Extracted events — ONE per-verb-gated regex pass per (session, dir),
+    * shared by q15/q16/q32/q48 (VERDICT r05 next #1, events half). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "events") {
+      graft.lore.Events.fromPassages(spark, textual(spark, sfDir)).toDF()
+    }
+
+  /** Timeline dimension — one BIRTH/DEATH/LIVED fact pass per
+    * (session, dir), shared by q40 and the q32 lore checker. */
+  def timeline(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "timeline") {
+      graft.lore.Temporal.timeline(spark, textual(spark, sfDir))
+    }
+
+  /** Per-passage style classification — one six-scorer pass per
+    * (session, dir), shared by q34 and the q49 fingerprint assembly. */
+  def classified(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "classified") {
+      graft.style.Classifier.classifyPassages(spark, textual(spark, sfDir))
+    }
+
+  /** Explicit alias pairs from passage text — one gated-regex corpus scan
+    * per (session, dir), shared by the clusters stage and the two
+    * CrossBook queries (q37/q51), each of which previously re-ran the
+    * full-corpus alias scan inside its own edge build. */
+  def aliasPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "alias_pairs") {
+      graft.extract.Canonicalize.aliasPairs(spark, textual(spark, sfDir))
     }
 
   /** Per-passage world-bible category scores — one classify pass per

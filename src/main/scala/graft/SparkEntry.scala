@@ -51,12 +51,11 @@ object SparkEntry {
       graft.extract.Canonicalize.registry(s, Pipeline.mentions(s, dir),
         Pipeline.clusterAssignment(s, dir))),
     "q11_dialogue" -> ((s, dir) =>
-      graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir))
+      Pipeline.dialogue(s, dir)
         .select("doc_id", "pos", "quote", "speaker", "speech_verb",
           "attribution_confidence", "is_question", "is_exclamation")),
     "q12_voice_profiles" -> ((s, dir) =>
-      graft.voice.Dialogue.voiceProfiles(s,
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())
+      graft.voice.Dialogue.voiceProfiles(s, Pipeline.dialogue(s, dir))
         .select("speaker", "total_lines", "questions", "exclamations",
           "statements", "avg_words", "utterance_std", "min_words",
           "max_words", "total_words", "total_chars", "unique_words",
@@ -67,8 +66,7 @@ object SparkEntry {
     "q56_compare_voices" -> ((s, dir) => {
       val f4 = graft.style.Metrics.floor4 _
       graft.voice.Profiles.compareVoices(
-        graft.voice.Dialogue.voiceProfiles(s,
-          graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF()))
+        graft.voice.Dialogue.voiceProfiles(s, Pipeline.dialogue(s, dir)))
         .select(col("speaker_a"), col("speaker_b"),
           f4(col("utterance_length_diff")).as("utterance_length_diff"),
           f4(col("question_ratio_diff")).as("question_ratio_diff"),
@@ -77,11 +75,9 @@ object SparkEntry {
           f4(col("similarity")).as("similarity"))
     }),
     "q41_voice_stats" -> ((s, dir) =>
-      graft.voice.Dialogue.voiceStats(s,
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.voice.Dialogue.voiceStats(s, Pipeline.dialogue(s, dir))),
     "q42_top_words" -> ((s, dir) =>
-      graft.voice.Profiles.topWords(
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.voice.Profiles.topWords(Pipeline.dialogue(s, dir))),
     "q13_style_doc" -> ((s, dir) => {
       val txt = Pipeline.textual(s, dir)
       val metrics = graft.style.Metrics.sentenceMetrics(txt, col("text"))
@@ -89,7 +85,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("sentences"),
           sum(col("word_count").cast("long")).as("words"),
           sum(col("char_count").cast("long")).as("chars"))
-      val dlg = graft.voice.Dialogue.fromPassages(s, txt)
+      val dlg = Pipeline.dialogue(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("quotes"),
           sum(when(col("is_question"), 1L).otherwise(0L)).as("question_quotes"),
@@ -107,12 +103,11 @@ object SparkEntry {
         .select("doc_id", "sentences", "words", "syllables",
           "complex_words", "flesch", "fk_grade", "gunning_fog")),
     "q15_events" -> ((s, dir) =>
-      graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir))
+      Pipeline.events(s, dir)
         .select("doc_id", "pos", "event_id", "agent", "action", "patient",
           "year", "era", "confidence")),
     "q16_event_order" -> ((s, dir) =>
-      graft.lore.Events.inferOrdering(
-        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.lore.Events.inferOrdering(Pipeline.events(s, dir))),
     "q17_media_meta" -> ((s, dir) =>
       graft.media.Media.metadata(s, Pipeline.passages(s, dir))
         .select("doc_id", "pos", "media_ref", "width", "height", "format")),
@@ -156,13 +151,11 @@ object SparkEntry {
     "q53_ann_ivf" -> ((s, dir) =>
       graft.ml.Similarity.ivfTopK(embTable(s, dir), nprobe = 16)),
     "q33_distinctive_words" -> ((s, dir) =>
-      graft.voice.Profiles.distinctiveWords(
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.voice.Profiles.distinctiveWords(Pipeline.dialogue(s, dir))),
     "q34_classifier" -> ((s, dir) =>
-      graft.style.Classifier.classifyPassages(s, Pipeline.textual(s, dir))),
+      Pipeline.classified(s, dir)),
     "q35_signature_phrases" -> ((s, dir) =>
-      graft.voice.Profiles.signaturePhrases(
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.voice.Profiles.signaturePhrases(Pipeline.dialogue(s, dir))),
     "q36_burrows_delta" -> ((s, dir) => {
       val sents = Pipeline.textual(s, dir)
         .withColumn("corpus",
@@ -175,7 +168,8 @@ object SparkEntry {
     "q37_crossbook" -> ((s, dir) =>
       graft.corpus.CrossBook.resolveAll(s,
         Pipeline.textual(s, dir), Pipeline.linked(s, dir),
-        pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)))._1),
+        pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)),
+        pinnedAliasPairs = Some(Pipeline.aliasPairs(s, dir)))._1),
     "q38_top_entities" -> ((s, dir) => {
       // top-k idiom: TakeOrderedAndProject narrows to 10 rows BEFORE the
       // (unavoidable) global rank window runs — no full-table single
@@ -190,35 +184,32 @@ object SparkEntry {
         .select("rank", "cluster", "mention_count")
     }),
     "q39_sample_quotes" -> ((s, dir) =>
-      graft.voice.Profiles.sampleQuotes(
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())),
+      graft.voice.Profiles.sampleQuotes(Pipeline.dialogue(s, dir))),
     "q30_worldbible_cat" -> ((s, dir) => Pipeline.wbCategories(s, dir)),
     "q31_worldbible_rules" -> ((s, dir) => Pipeline.wbRules(s, dir)),
     "q32_lore_checks" -> ((s, dir) => {
-      val txt = Pipeline.textual(s, dir)
       graft.lore.Checker.checkAll(s, loreClaims,
         Pipeline.edges(s, dir),
         Pipeline.vertices(s, dir).select("id", "label"),
         graft.worldbible.WorldBible.rulesTableFrom(Pipeline.wbRules(s, dir)),
-        graft.lore.Temporal.timeline(s, txt),
-        graft.lore.Events.fromPassages(s, txt).toDF())
+        Pipeline.timeline(s, dir),
+        Pipeline.events(s, dir))
     }),
     "q46_mentioned_in" -> ((s, dir) =>
       graft.graph.Materialize.mentionedInEdges(Pipeline.linked(s, dir))),
     "q47_dialogue_edges" -> ((s, dir) =>
-      graft.graph.Materialize.dialogueGraph(s,
-        graft.voice.Dialogue.fromPassages(s, Pipeline.textual(s, dir)).toDF())
+      graft.graph.Materialize.dialogueGraph(s, Pipeline.dialogue(s, dir))
         ._2),
     "q48_event_links" -> ((s, dir) =>
       graft.graph.Materialize.eventEntityLinks(
-        graft.lore.Events.fromPassages(s, Pipeline.textual(s, dir)).toDF(),
+        Pipeline.events(s, dir),
         Pipeline.vertices(s, dir).select("id", "label", "canonical_name"))),
     "q49_fingerprint" -> ((s, dir) =>
       graft.style.Fingerprint.assemble(s,
         Pipeline.textual(s, dir)
           .withColumn("corpus",
             pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(2L))),
-        "corpus")),
+        "corpus", preClassified = Some(Pipeline.classified(s, dir)))),
     "q50_word_lengths" -> ((s, dir) =>
       graft.style.Fingerprint.wordLengthDistribution(
         Pipeline.textual(s, dir)
@@ -236,7 +227,7 @@ object SparkEntry {
       graft.worldbible.WorldBible.geography(s, Pipeline.textual(s, dir),
         Some(Pipeline.wbCategories(s, dir)))),
     "q40_timeline" -> ((s, dir) =>
-      graft.lore.Temporal.timeline(s, Pipeline.textual(s, dir))
+      Pipeline.timeline(s, dir)
         .select("name", "birth_era", "death_era")),
     // X5 consolidation: three same-passage mentions per lineitem row —
     // "<Name>", "<Name> Took" (both character) and "<Name> Field" (place).
@@ -267,7 +258,8 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"), col("book"),
           col("mn.text").as("text"), col("mn.entity_type").as("entity_type"))
       graft.corpus.CrossBook
-        .resolveAll(s, Pipeline.textual(s, dir), ments, col("book"))._1
+        .resolveAll(s, Pipeline.textual(s, dir), ments, col("book"),
+          pinnedAliasPairs = Some(Pipeline.aliasPairs(s, dir)))._1
     }),
     // E13 explicit ORDER relations surfaced as a table: deterministic
     // passages with before/after/followed statements synthesized from

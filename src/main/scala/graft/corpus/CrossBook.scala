@@ -22,7 +22,8 @@ object CrossBook {
       spark: SparkSession,
       textualPassages: DataFrame,
       mentions: DataFrame,
-      bookExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      bookExpr: org.apache.spark.sql.Column,
+      pinnedAliasPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     val m = mentions
       .withColumn("book", bookExpr)
@@ -39,7 +40,10 @@ object CrossBook {
     // fuzzy edges at the cross-book 0.85 threshold (X3); blocked
     // equi-join on (first char, length) — see Canonicalize.fuzzyEdges
     val eFuzzy = Canonicalize.fuzzyEdges(nodes, 0.85, ratioUdf)
-    val eAlias = Canonicalize.aliasPairs(spark, textualPassages)
+    // session-cached alias table when the caller has one (Pipeline
+    // stage cache): q37 and q51 each re-ran this full-corpus regex scan
+    val eAlias = pinnedAliasPairs
+      .getOrElse(Canonicalize.aliasPairs(spark, textualPassages))
       .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
 

@@ -164,7 +164,8 @@ object Canonicalize {
       spark: SparkSession,
       textualPassages: DataFrame,
       mentions: DataFrame,
-      pinnedNodes: Option[DataFrame] = None): DataFrame = {
+      pinnedNodes: Option[DataFrame] = None,
+      pinnedAliasPairs: Option[DataFrame] = None): DataFrame = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     // distinct node keys: a shuffle over the full mention table — pin the
     // (tiny) result once, or every edge family below re-runs it inside the
@@ -185,8 +186,10 @@ object Canonicalize {
     //    at corpus scale (round-1 VERDICT.md scale issue #5).
     val eFuzzy = fuzzyEdges(nodes, 0.90, ratioUdf)
 
-    // 3. explicit alias statements
-    val eAlias = aliasPairs(spark, textualPassages)
+    // 3. explicit alias statements — callers with a session-cached alias
+    //    table (Pipeline.aliasPairs) pass it so the full-corpus gated
+    //    regex scan runs once per session, not once per edge build
+    val eAlias = pinnedAliasPairs.getOrElse(aliasPairs(spark, textualPassages))
       .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .select("src", "dst")
@@ -207,7 +210,8 @@ object Canonicalize {
       spark: SparkSession,
       textualPassages: DataFrame,
       mentions: DataFrame,
-      checkpoints: Option[graft.graph.Checkpoints] = None)
+      checkpoints: Option[graft.graph.Checkpoints] = None,
+      pinnedAliasPairs: Option[DataFrame] = None)
       : (DataFrame, Seq[ConnectedComponents.Superstep]) = {
     // materialize the mention stage once — nodes and three of the four
     // edge families all read it; the distinct node set is pinned once and
@@ -217,8 +221,11 @@ object Canonicalize {
       .distinct().localCheckpoint(true)
     val e = checkpoints match {
       case Some(ck) =>
-        ck.stage("cc_edges") { edges(spark, textualPassages, m, Some(nodes)) }
-      case None => edges(spark, textualPassages, m, Some(nodes))
+        ck.stage("cc_edges") {
+          edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs)
+        }
+      case None =>
+        edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs)
     }
     ConnectedComponents.run(spark, nodes, e, checkpoints = checkpoints)
   }

@@ -89,7 +89,8 @@ object Fingerprint {
     */
   def assemble(
       spark: SparkSession, passages: DataFrame,
-      corpusCol: String): DataFrame = {
+      corpusCol: String,
+      preClassified: Option[DataFrame] = None): DataFrame = {
     import graft.style.Metrics.floor4
     val p = passages.withColumn("corpus", col(corpusCol))
     val sm = graft.style.Metrics.sentenceMetrics(p, col("text"))
@@ -122,7 +123,11 @@ object Fingerprint {
           / col("total_words") * 1000).as("invented_word_density"))
     val types = Seq("dialogue", "action", "description", "travel",
       "battle", "reflection", "unknown")
-    val cls = graft.style.Classifier.classifyPassages(spark, p)
+    // classifyPassages only reads (doc_id, pos, text), so a session-cached
+    // classification over the same passages (Pipeline.classified) is
+    // row-identical — callers pass it to share the six-scorer pass
+    val cls = preClassified
+      .getOrElse(graft.style.Classifier.classifyPassages(spark, p))
       .join(p.select("doc_id", "pos", "corpus"), Seq("doc_id", "pos"))
       .groupBy("corpus")
       .agg(
