@@ -120,9 +120,18 @@ object Linker {
     val miss2 = t2.filter(col("canonical_id").isNull)
       .drop("akey", "canonical_id", "entity_type", "canonical_name")
 
-    // tier 3: blocked fuzzy (broadcast nested-loop on the tiny registry);
-    // best candidate per mention by (ratio desc, id asc) — deterministic.
-    val cand = miss2.join(
+    // tier 3: blocked fuzzy (broadcast nested-loop on the tiny registry).
+    // The verdict for a mention depends ONLY on its cleaned key, so the
+    // candidate expansion + indel-ratio DP + best-candidate window run
+    // over the DISTINCT unmatched keys (a few hundred) instead of every
+    // unmatched mention row (~the full mention table): the per-mention
+    // window shuffle (partition by doc/pos/start/end over |mentions| x
+    // candidate rows) becomes a distinct + tiny-window + broadcast
+    // join-back — same rows out, |keys|/|mentions| of the DP calls
+    // (LinkerSpec pins row-identical output vs the per-row form).
+    // Best candidate per key by (ratio desc, id asc) — deterministic.
+    val keys3 = miss2.select("mkey").distinct()
+    val cand = keys3.join(
       alias,
       substring(col("mkey"), 1, 1) === substring(col("akey"), 1, 1) &&
         abs(length(col("mkey")) - length(col("akey"))) <= 3,
@@ -130,16 +139,20 @@ object Linker {
       .withColumn("ratio",
         when(col("akey").isNotNull, ratioUdf(col("mkey"), col("akey"))))
       .withColumn("fuzzy_ok", col("ratio") >= 0.85)
-    val w = Window.partitionBy("doc_id", "pos", "start", "end")
+    val w = Window.partitionBy("mkey")
       .orderBy(col("fuzzy_ok").desc_nulls_last, col("ratio").desc_nulls_last,
         col("canonical_id").asc_nulls_last)
-    val t3 = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .withColumn("matched", col("fuzzy_ok").isNotNull && col("fuzzy_ok"))
-      .withColumn("canonical_id", when(col("matched"), col("canonical_id")))
-      .withColumn("canonical_name", when(col("matched"), col("canonical_name")))
-      .withColumn("entity_type", when(col("matched"), col("entity_type")))
-      .withColumn("link_confidence", when(col("matched"), col("ratio")))
-      .drop("rn", "ratio", "fuzzy_ok", "matched")
+      .select(col("mkey"),
+        col("akey"),
+        when(col("matched"), col("canonical_id")).as("canonical_id"),
+        when(col("matched"), col("canonical_name")).as("canonical_name"),
+        when(col("matched"), col("entity_type")).as("entity_type"),
+        when(col("matched"), col("ratio")).as("link_confidence"))
+    // every distinct key has exactly one best row (the left join keeps
+    // null-candidate keys), so this inner join is a per-row verdict attach
+    val t3 = miss2.join(broadcast(best), Seq("mkey"))
 
     val all = hit1.unionByName(hit2).unionByName(t3, allowMissingColumns = false)
     all

@@ -35,6 +35,25 @@ object Splitter {
 
   private val ParagraphSplit = Pattern.compile("""\n\s*\n+""")
   private val SentenceSplit = Pattern.compile("""(?<=[.!?])\s+(?=[A-Z"])""")
+  private val WsRun = Pattern.compile("""\s+""")
+
+  /** Abbreviation-protection patterns, compiled ONCE. Each entry is
+    * (lowercase literal gate, pattern, replacement): the per-paragraph
+    * `replaceAll(s"(?i)\\b${quote(abbr)}\\.", ...)` loop compiled
+    * |Abbreviations| fresh Patterns for EVERY paragraph (~1M compiles in
+    * the q29 roundtrip at sf0.1 — the dominant cost of the split). The
+    * pattern string is built exactly as before, so semantics are
+    * unchanged; the gate is sound because `(?i)` without UNICODE_CASE
+    * folds ASCII only, which containsIgnoreCaseAscii reproduces exactly,
+    * and every match must contain the abbreviation literal. Equivalence
+    * is spec-tested in SplitterSpec.
+    */
+  private val AbbrevPatterns: Seq[(String, Pattern, String)] =
+    Lexicon.Abbreviations.map { abbr =>
+      (abbr.toLowerCase(java.util.Locale.ROOT),
+        Pattern.compile(s"(?i)\\b${Pattern.quote(abbr)}\\."),
+        s"$abbr<<<DOT>>>")
+    }
 
   /** split_into_chapters (splitter.py:81-124): markers, preamble >100
     * chars becomes "Prologue", fallback single "Chapter 1".
@@ -64,9 +83,13 @@ object Splitter {
     * protect abbreviations with a sentinel, split, restore.
     */
   def splitIntoSentences(text: String): Seq[String] = {
-    var t = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
-    Lexicon.Abbreviations.foreach { abbr =>
-      t = t.replaceAll(s"(?i)\\b${Pattern.quote(abbr)}\\.", s"$abbr<<<DOT>>>")
+    var t = WsRun.split(text).filter(_.nonEmpty).mkString(" ")
+    AbbrevPatterns.foreach { case (gate, p, repl) =>
+      // literal gate first: a paragraph without the (case-folded)
+      // abbreviation cannot match, so the regex pass is skipped — and the
+      // matcher itself is a thread-local reuse, not a per-call allocation
+      if (graft.extract.Hot.containsIgnoreCaseAscii(t, gate))
+        t = graft.extract.Hot.of(p, t).replaceAll(repl)
     }
     SentenceSplit.split(t).toSeq
       .map(_.replace("<<<DOT>>>", ".").trim)

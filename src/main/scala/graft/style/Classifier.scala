@@ -21,6 +21,8 @@ object Classifier {
       reflectionScore: Double)
 
   private val QuotePat = Pattern.compile("[\"“][^\"”]+[\"”]")
+  private val DotSplit = Pattern.compile("\\.")
+  private val WsSplit = Pattern.compile("\\s+")
   private[graft] val DialogueVerbs = Seq(
     "said", "asked", "replied", "answered", "cried", "shouted",
     "whispered", "muttered", "exclaimed", "declared", "demanded", "begged")
@@ -63,32 +65,55 @@ object Classifier {
 
   private def scoreDialogue(text: String, lower: String): Double = {
     var score = 0.0
-    val m = QuotePat.matcher(text)
+    val m = graft.extract.Hot.of(QuotePat, text)
     var quoted = 0
-    while (m.find()) quoted += m.group(0).length
+    while (m.find()) quoted += m.end - m.start
     if (quoted > 0 && text.nonEmpty) score += quoted.toDouble / text.length * 3.0
-    DialogueVerbPats.foreach(p => if (p.matcher(lower).find()) score += 0.3)
+    // literal gate: every \bverb\b match contains the verb verbatim (the
+    // scorers run over the lowercased text), so a passage without the
+    // substring cannot match — the gated regex preserves exact semantics
+    // (ClassifierSpec pins gated == ungated on generated passages)
+    var i = 0
+    while (i < DialogueVerbs.length) {
+      if (lower.contains(DialogueVerbs(i)) &&
+        graft.extract.Hot.of(DialogueVerbPats(i), lower).find()) score += 0.3
+      i += 1
+    }
     score
   }
 
   private def scoreAction(lower: String): Double = {
     var score = 0.0
     ActionVerbs.foreach(v => if (lower.contains(v)) score += 0.4)
-    val sentences = lower.split("\\.")
+    // precompiled splits: String.split("\\.")/split("\\s+") compile a
+    // fresh Pattern per CALL (twice per passage here); the split results
+    // are identical by Pattern.split's contract
+    val sentences = DotSplit.split(lower)
     val short = sentences.count { s =>
-      val n = s.split("\\s+").count(_.nonEmpty); n < 10 && n > 3
+      val n = WsSplit.split(s).count(_.nonEmpty); n < 10 && n > 3
     }
     if (short > sentences.length / 2.0) score += 0.5
     math.min(score, 3.0)
   }
 
+  /** Literal each description pattern REQUIRES (present verbatim in any
+    * match of the lowercased text): was/seemed/appeared/looked/was/there/
+    * there, index-aligned with DescriptionPats.
+    */
+  private val DescGates = IndexedSeq(
+    "was", "seemed", "appeared", "looked", "was", "there", "there")
+
   private def scoreDescription(lower: String): Double = {
     var score = 0.0
-    DescriptionPats.foreach { p =>
-      val m = p.matcher(lower)
-      while (m.find()) score += 0.3
+    var i = 0
+    while (i < DescriptionPats.length) {
+      if (lower.contains(DescGates(i))) {
+        val m = graft.extract.Hot.of(DescriptionPats(i), lower)
+        while (m.find()) score += 0.3
+      }
+      i += 1
     }
-    val words = lower.split("\\s+")
+    val words = WsSplit.split(lower)
     score += words.count(DescAdjectives.contains) * 0.2
     if (words.length > 30) score += 0.3
     score
@@ -109,7 +134,12 @@ object Classifier {
 
   private def scoreReflection(lower: String): Double = {
     var score = 0.0
-    ReflectionPats.foreach(p => if (p.matcher(lower).find()) score += 0.35)
+    var i = 0
+    while (i < ReflectionVerbs.length) {
+      if (lower.contains(ReflectionVerbs(i)) &&
+        graft.extract.Hot.of(ReflectionPats(i), lower).find()) score += 0.35
+      i += 1
+    }
     val padded = s" $lower "
     FirstPerson.foreach(p => if (padded.contains(s" $p ")) score += 0.2)
     score

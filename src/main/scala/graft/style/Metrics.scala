@@ -35,11 +35,17 @@ object Metrics {
       text.contains("\"") || text.contains("“"))
     .withColumn("is_passive",
       text.rlike("""\b(was|were|been|is|are|be)\s+\w+(ed|en)\b"""))
+    // subordinator count == number of DISTINCT subordinators present as
+    // \b-delimited words. One tokenize + array_intersect replaces TEN
+    // rlike regex scans per row: after lower(), regex word chars are
+    // [a-z0-9_], so splitting on their complement yields exactly the
+    // \b-delimited word tokens, and |distinct(tokens) ∩ lexicon| equals
+    // the sum of per-word 0/1 rlike hits (MetricsSpec pins equivalence).
     .withColumn("subordinators",
-      Seq("that", "which", "who", "because", "when", "while", "although",
-        "if", "since", "unless")
-        .map(w => when(lower(text).rlike(s"\\b$w\\b"), 1).otherwise(0))
-        .reduce(_ + _))
+      size(array_intersect(
+        split(lower(text), "[^a-z0-9_]+"),
+        typedlit(Seq("that", "which", "who", "because", "when", "while",
+          "although", "if", "since", "unless")))))
 
   /** Distribution aggregate columns over a numeric column (Y3,
     * metrics.py:56-74).
@@ -77,16 +83,31 @@ object Metrics {
     * Ease, Flesch-Kincaid grade, Gunning Fog. Input: one row per sentence
     * with `text`; output: one row per group.
     */
+  private val ReadabilityWs = java.util.regex.Pattern.compile("\\s+")
+
   def readability(spark: org.apache.spark.sql.SparkSession,
       sentences: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val syllUdf = udf((t: String) =>
-      t.split("\\s+").filter(_.nonEmpty).map(syllables).sum)
-    val complexUdf = udf((t: String) =>
-      t.split("\\s+").filter(_.nonEmpty).count(w => syllables(w) >= 3))
+    // ONE fused UDF returning (syllable sum, complex-word count): the two
+    // separate UDFs each re-split the text and re-ran the syllable
+    // counter over every word — the whole pass is halved, values are
+    // byte-identical (same tokenizer, same counter; MetricsSpec pins it)
+    val syllUdf = udf((t: String) => {
+      var syll = 0
+      var cplx = 0
+      ReadabilityWs.split(t).foreach { w =>
+        if (w.nonEmpty) {
+          val s = syllables(w)
+          syll += s
+          if (s >= 3) cplx += 1
+        }
+      }
+      (syll, cplx)
+    })
     val s = sentences
       .withColumn("wc", wordCount(col("text")))
-      .withColumn("syll", syllUdf(col("text")))
-      .withColumn("complex_words", complexUdf(col("text")))
+      .withColumn("sy", syllUdf(col("text")))
+      .withColumn("syll", col("sy._1"))
+      .withColumn("complex_words", col("sy._2"))
     s.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("sentences"),

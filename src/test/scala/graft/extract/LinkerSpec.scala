@@ -165,4 +165,50 @@ class LinkerSpec extends SparkSpec {
       assert(r.getString(3) != null, s"fused object_type null: $r")
     }
   }
+
+  test("distinct-key fuzzy tier == per-row verdicts (round-6 optimization " +
+    "equivalence: duplicate unmatched keys, fuzzy hits and misses)") {
+    import spark.implicits._
+    // several mentions SHARING unmatched cleaned keys: the distinct-key
+    // rewrite must hand every row the same verdict the per-row window
+    // produced — fuzzy hit (Gandaf x3), fuzzy miss (Zorro x2), and a mix
+    // of exact/alias rows interleaved
+    val texts = Seq(
+      "Gandaf", "Gandaf", "Gandaf's", "Zorro", "Zorro",
+      "Gandalf", "Mithrandir", "Tom Bombadil", "Tom Bombadil", "Golum")
+    val m = texts.zipWithIndex.map { case (t, i) =>
+      (s"d${i % 3}", i, s"p$i", t, i * 10, i * 10 + t.length,
+        "PERSON", "heuristic", 0.7)
+    }.toDF("doc_id", "pos", "passage_id", "text", "start", "end",
+      "label", "source", "confidence")
+    val out = Linker.link(spark, m, fixtureSeeds)
+      .select("doc_id", "pos", "text", "canonical_id", "link_confidence",
+        "is_new")
+      .collect()
+    assert(out.length == texts.length) // one verdict row per mention row
+    // per-row naive expectation: best (ratio desc, id asc) candidate over
+    // the (first char, |len diff| <= 3) block, threshold 0.85
+    val aliasRows = Seeds.aliasRows(fixtureSeeds)
+    def expectId(text: String): Option[String] = {
+      val key = text.toLowerCase(java.util.Locale.ROOT).trim
+        .replaceAll("\\s+", " ").replaceAll("'s$", "").trim
+      aliasRows.find(_._1 == key).map(_._2).orElse {
+        val k2 = key.replaceFirst("^(the |a |an )", "")
+        aliasRows.find(_._1 == k2).map(_._2)
+      }.orElse {
+        val cands = aliasRows.filter(a =>
+          a._1.take(1) == key.take(1) &&
+            math.abs(a._1.length - key.length) <= 3)
+          .map(a => (Linker.indelRatio(key, a._1), a._2))
+          .filter(_._1 >= 0.85)
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (r, id) => (-r, id) }._2)
+      }
+    }
+    out.foreach { r =>
+      val t = r.getString(2)
+      assert(Option(r.getString(3)) == expectId(t),
+        s"row ($t): got ${r.getString(3)}, want ${expectId(t)}")
+    }
+  }
 }

@@ -62,4 +62,41 @@ class SplitterSpec extends AnyFunSuite {
     val offs = ps.map(_.char_offset)
     assert(offs == offs.sorted && offs.distinct == offs)
   }
+
+  test("gated precompiled abbreviation pass == per-call replaceAll loop " +
+    "(round-6 optimization equivalence)") {
+    // the NAIVE splitter as it stood before the round-6 optimization:
+    // whitespace-normalize, then one freshly-compiled case-insensitive
+    // replaceAll per abbreviation, then split + restore
+    def naive(text: String): Seq[String] = {
+      var t = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      graft.Lexicon.Abbreviations.foreach { abbr =>
+        t = t.replaceAll(
+          s"(?i)\\b${java.util.regex.Pattern.quote(abbr)}\\.",
+          s"$abbr<<<DOT>>>")
+      }
+      java.util.regex.Pattern.compile("""(?<=[.!?])\s+(?=[A-Z"])""")
+        .split(t).toSeq
+        .map(_.replace("<<<DOT>>>", ".").trim)
+        .filter(_.nonEmpty)
+    }
+    val abbrs = graft.Lexicon.Abbreviations
+    val cases = Seq(
+      "Mr. Baggins met Dr. Gandalf. Then they left.",
+      "MRS. Cotton spoke. mr. Smith listened. eTc. and so on.",
+      "i.e. the ring, e.g. gold. Nothing else.",
+      "St. Mary and Mt. Doom and Ft. Knox. Done.",
+      "No abbreviations here at all. Plain text! Really?",
+      "Trailing abbreviation Mr.",
+      "Smr. is not an abbreviation boundary case.",   // \b before Mr fails
+      "  Leading   whitespace\tand\nnewlines Mr. Frodo. End.",
+      "Prof. al. cf. vs. Sr. Jr. all at once. Next.",
+      "") ++
+      // every abbreviation, sandwiched, in both original and upper case
+      abbrs.flatMap(a => Seq(s"Ask $a. Smith. Then go.",
+        s"Ask ${a.toUpperCase}. Smith. Then go."))
+    cases.foreach { c =>
+      assert(Splitter.splitIntoSentences(c) == naive(c), s"case: '$c'")
+    }
+  }
 }

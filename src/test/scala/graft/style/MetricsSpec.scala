@@ -54,4 +54,55 @@ class MetricsSpec extends SparkSpec {
     assert(v.getAs[Long]("unique_words") == 5)
     assert(v.getAs[Long]("hapax_count") == 3)
   }
+
+  test("single-tokenize subordinator count == ten per-word rlike hits " +
+    "(round-6 optimization equivalence)") {
+    import spark.implicits._
+    val subs = Seq("that", "which", "who", "because", "when", "while",
+      "although", "if", "since", "unless")
+    val cases = Seq(
+      "He said that it was so, because the ring which he bore was heavy.",
+      "Whoever knows whichever path, if and when, since... unless!",
+      "that that that (repeated words count once)",
+      "THAT and WHICH uppercase fold under lower()",
+      "that's a boundary: apostrophe is a non-word char",
+      "ifwhich whothat stuck-together words must NOT count",
+      "if1 that2 digit-adjacent must NOT count (\\w includes digits)",
+      "under_scored_if also must NOT count",
+      "caféthat non-ASCII is a word boundary in java regex? no — " +
+        "é is non-word, so 'that' stands alone",
+      "", "   ", "no subordinating words at all here")
+    val df = cases.toDF("text")
+    val newCol = Metrics.sentenceMetrics(df, col("text"))
+      .select("text", "subordinators")
+    val oldCol = df
+      .withColumn("subordinators_old",
+        subs.map(w => when(lower(col("text")).rlike(s"\\b$w\\b"), 1)
+          .otherwise(0)).reduce(_ + _))
+    val joined = newCol.join(oldCol, Seq("text")).collect()
+    joined.foreach { r =>
+      assert(r.getAs[Int]("subordinators") ==
+        r.getAs[Int]("subordinators_old"), s"text: '${r.getAs[String]("text")}'")
+    }
+  }
+
+  test("fused syllable/complex-word UDF == the two-UDF form " +
+    "(round-6 optimization equivalence)") {
+    import spark.implicits._
+    val texts = Seq(
+      "The cat sat.", "The dog ran far.",
+      "Adventure beautiful extraordinary readability", // 3+ syllable words
+      "  leading  and   trailing   whitespace  ",
+      "fire little apple people", "", "a",
+      "Mixed CASE Words And punctuation, really!?")
+    val df = texts.toDF("text").withColumn("g", lit("x"))
+    val out = Metrics.readability(spark, df, Seq("g")).collect()(0)
+    // naive recomputation with the pre-optimization per-word double pass
+    val syll = texts.map(_.split("\\s+").filter(_.nonEmpty)
+      .map(Metrics.syllables).sum).sum
+    val cplx = texts.map(_.split("\\s+").filter(_.nonEmpty)
+      .count(w => Metrics.syllables(w) >= 3)).sum
+    assert(out.getAs[Long]("syllables") == syll)
+    assert(out.getAs[Long]("complex_words") == cplx)
+  }
 }
