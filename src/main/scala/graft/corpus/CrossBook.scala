@@ -25,9 +25,19 @@ object CrossBook {
       bookExpr: org.apache.spark.sql.Column,
       pinnedAliasPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
-    val m = mentions
+    // project BEFORE the pin: every consumer below needs only
+    // (doc_id, pos, book, node, entity_type) — carrying the mention text
+    // and the rest of the linked columns through the eager checkpoint
+    // roughly doubled its bytes (guide §2.3 project-early; node is the
+    // cleaned key, and cleanKey is idempotent, so text is never needed
+    // again downstream)
+    val mAll = mentions
       .withColumn("book", bookExpr)
-      .withColumn("node", Linker.cleanKey(col("text")))
+      .withColumn("node", Canonicalize.keyOf(mentions))
+    val m = mAll
+      .select(Seq(col("doc_id"), col("pos"), col("book"), col("node")) ++
+        (if (mAll.columns.contains("entity_type"))
+           Seq(col("entity_type")) else Nil): _*)
       .localCheckpoint(true)
     // pinned: consumed by the fuzzy join, two alias semi-joins, the X5
     // families, and the CC node set — without the checkpoint each re-runs
@@ -68,7 +78,7 @@ object CrossBook {
     def typeOf(end: String) = nodeTypes
       .select(col("node").as(end), col("ntype").as(s"${end}_t"))
     val eConsolidate = Canonicalize.articleEdges(nodes)
-      .union(Canonicalize.coocMergeEdges(m))
+      .union(Canonicalize.coocMergeEdges(m, keyExpr = Some(col("node"))))
       .join(typeOf("src"), Seq("src"), "left")
       .join(typeOf("dst"), Seq("dst"), "left")
       .filter(col("src_t").isNull || col("dst_t").isNull ||
@@ -84,11 +94,20 @@ object CrossBook {
     // conflicts = (# distinct non-unknown types) - 1, floored at 0.
     // Requires the input mentions to carry entity_type (linked mentions);
     // raw mentions degrade gracefully to 0 conflicts.
+    // two-level aggregate: the three count-distincts over the full joined
+    // mention table made the planner Expand every row 4x before one big
+    // shuffle; pre-aggregating by the full distinct key first runs with
+    // map-side partial counts (mentions reduce to a handful of
+    // (cluster, book, node, type) combos), and the Expand then runs over
+    // that tiny table. countDistinct over the pre-grouped keys and
+    // sum(cnt) == count(*) are exact by construction.
     val entities = typed.join(assignment, Seq("node"))
+      .groupBy("cluster", "book", "node", "entity_type")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cluster").as("entity"))
       .agg(
         countDistinct(col("book")).as("books_appeared"),
-        count(lit(1)).as("total_mentions"),
+        sum(col("cnt")).as("total_mentions"),
         countDistinct(col("node")).as("member_count"),
         greatest(
           countDistinct(when(col("entity_type") =!= "unknown",
@@ -105,7 +124,7 @@ object CrossBook {
       mentionsWithBook: DataFrame,
       assignment: DataFrame): DataFrame =
     mentionsWithBook
-      .withColumn("node", Linker.cleanKey(col("text")))
+      .withColumn("node", Canonicalize.keyOf(mentionsWithBook))
       .join(assignment, Seq("node"))
       .groupBy(col("cluster").as("entity"), col("book"))
       .agg(min(col("node")).as("book_cluster"))

@@ -89,9 +89,21 @@ object Canonicalize {
     * pathological input at scale.
     */
   def cooccurrence(
-      mentions: DataFrame, maxKeysPerPassage: Int = 64): DataFrame = {
-    val keyed = mentions.select(
-      col("doc_id"), col("pos"), Linker.cleanKey(col("text")).as("k"))
+      mentions: DataFrame, maxKeysPerPassage: Int = 64): DataFrame =
+    pairRows(mentions, maxKeysPerPassage, Linker.cleanKey(col("text")))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-passage pair expansion feeding [[cooccurrence]] — one row per
+    * (passage, unordered key pair). `keyExpr` lets callers that already
+    * carry a cleaned key column (CrossBook's pinned mention table) skip
+    * the per-row cleanKey regex re-derivation; cleanKey is idempotent, so
+    * passing the precomputed column is exact.
+    */
+  private[graft] def pairRows(
+      mentions: DataFrame, maxKeysPerPassage: Int,
+      keyExpr: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = mentions.select(col("doc_id"), col("pos"), keyExpr.as("k"))
     val perPassage = keyed.groupBy("doc_id", "pos")
       .agg(slice(array_sort(collect_set(col("k"))), 1, maxKeysPerPassage)
         .as("ks"))
@@ -102,8 +114,6 @@ object Canonicalize {
         |  transform(slice(ks, i + 2, size(ks)), y -> struct(x AS src, y AS dst))))"""
         .stripMargin)).as("pair"))
       .select(col("pair.src").as("src"), col("pair.dst").as("dst"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Blocked fuzzy self-join: equi-join on (first char, length) with the
@@ -149,10 +159,22 @@ object Canonicalize {
   /** Co-occurrence >= 3 passing the merge heuristic (D2-D4, D3 default
     * min_cooccurrence=3, dynamic_resolver.py:196).
     */
-  private[graft] def coocMergeEdges(mentions: DataFrame): DataFrame =
-    cooccurrence(mentions)
-      .filter(col("cnt") >= 3)
+  private[graft] def coocMergeEdges(
+      mentions: DataFrame,
+      keyExpr: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    // shouldMerge depends only on (src, dst), so it commutes with the
+    // pair-count aggregate: filtering BEFORE the groupBy shuffles only the
+    // containment-passing pairs (rare — different co-occurring names
+    // seldom contain each other) instead of every co-occurrence pair
+    // (guide §2.3 aggregate-before-shuffle / project-early; the unfiltered
+    // pair count was the single largest piece of the q37/q51 probe).
+    // count(filter(pairs)) >= 3 == filter(count(pairs) >= 3) exactly.
+    pairRows(mentions, 64,
+      keyExpr.getOrElse(Linker.cleanKey(col("text"))))
       .filter(shouldMerge(col("src"), col("dst")))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
       .select("src", "dst")
 
   /** Build the full alias-similarity edge set over mention keys.
@@ -160,6 +182,16 @@ object Canonicalize {
     * that also need the node set (CC seeding) pass theirs so the
     * full-mention-table distinct shuffle runs exactly once.
     */
+  /** Mention-key expression for a mention table: the pre-materialized
+    * `mkey` column when present (Pipeline.mentions stores it with the
+    * stage — cleanKey costs ~2 s per full-table evaluation at sf0.1),
+    * else the cleanKey derivation. cleanKey is deterministic, so the two
+    * are interchangeable.
+    */
+  private[graft] def keyOf(mentions: DataFrame): org.apache.spark.sql.Column =
+    if (mentions.columns.contains("mkey")) col("mkey")
+    else Linker.cleanKey(col("text"))
+
   def edges(
       spark: SparkSession,
       textualPassages: DataFrame,
@@ -171,7 +203,7 @@ object Canonicalize {
     // (tiny) result once, or every edge family below re-runs it inside the
     // union plan (profiled 6x recompute = most of the edge-build time)
     val nodes = pinnedNodes.getOrElse(
-      mentions.select(Linker.cleanKey(col("text")).as("node"))
+      mentions.select(keyOf(mentions).as("node"))
         .distinct().localCheckpoint(true))
 
     // 1. article-strip equality
@@ -195,7 +227,7 @@ object Canonicalize {
       .select("src", "dst")
 
     // 4. co-occurrence >= 3 passing the merge heuristic
-    val eCooc = coocMergeEdges(mentions)
+    val eCooc = coocMergeEdges(mentions, keyExpr = Some(keyOf(mentions)))
 
     eArticle.union(eFuzzy).union(eAlias).union(eCooc).distinct()
   }
@@ -215,9 +247,13 @@ object Canonicalize {
       : (DataFrame, Seq[ConnectedComponents.Superstep]) = {
     // materialize the mention stage once — nodes and three of the four
     // edge families all read it; the distinct node set is pinned once and
-    // shared between the edge builder and the CC seed
-    val m = mentions.select("doc_id", "pos", "text").localCheckpoint(true)
-    val nodes = m.select(Linker.cleanKey(col("text")).as("node"))
+    // shared between the edge builder and the CC seed. The pre-derived
+    // mkey rides along when the input has one (see keyOf).
+    val m = mentions
+      .select(Seq(col("doc_id"), col("pos"), col("text")) ++
+        (if (mentions.columns.contains("mkey")) Seq(col("mkey")) else Nil): _*)
+      .localCheckpoint(true)
+    val nodes = m.select(keyOf(m).as("node"))
       .distinct().localCheckpoint(true)
     val e = checkpoints match {
       case Some(ck) =>
@@ -294,7 +330,7 @@ object Canonicalize {
       mentions: DataFrame,
       assignment: DataFrame): DataFrame = {
     val keyed = mentions
-      .withColumn("node", Linker.cleanKey(col("text")))
+      .withColumn("node", keyOf(mentions))
       // width 19 covers any Long: lpad TRUNCATES values wider than the
       // pad, which at width 6 silently corrupted ordering (and collided
       // distinct positions) past 10^6 passages/offsets — exactly the
@@ -303,11 +339,26 @@ object Canonicalize {
         concat(col("doc_id"), lit("#"),
           lpad(col("pos").cast("string"), 19, "0"), lit("#"),
           lpad(col("start").cast("string"), 19, "0")))
+    // two-level aggregate: countDistinct(node) next to plain aggregates
+    // made the planner Expand every mention row 2x before the shuffle;
+    // grouping by (cluster, node) first runs with map-side partial
+    // aggregation (min_by/min/count all support partials), and the
+    // second level is a per-node-sized table. Exact by construction:
+    // member_count == number of (cluster, node) groups, mention_count ==
+    // sum of per-group counts, and the global first-seen mention is the
+    // min-by over the per-node first-seens (seen keys are unique — dedup
+    // guarantees one span per (doc, pos, start)).
     keyed.join(assignment, Seq("node"))
+      .groupBy("cluster", "node")
+      .agg(
+        min_by(col("text"), col("seen_key")).as("node_first_text"),
+        min(col("seen_key")).as("node_first_seen"),
+        count(lit(1)).as("cnt"))
       .groupBy(col("cluster"))
       .agg(
-        min_by(col("text"), col("seen_key")).as("canonical_name"),
-        countDistinct(col("node")).as("member_count"),
-        count(lit(1)).as("mention_count"))
+        min_by(col("node_first_text"), col("node_first_seen"))
+          .as("canonical_name"),
+        count(lit(1)).as("member_count"),
+        sum(col("cnt")).as("mention_count"))
   }
 }

@@ -75,8 +75,32 @@ object WorldBible {
       (Pattern.compile(p, Pattern.CASE_INSENSITIVE), n)
     }
 
+  /** Literal gates per rule pattern, index-aligned with [[RulePatterns]]:
+    * outer Seq = conjunction, inner Seq = disjunction of lowercase-ASCII
+    * literals. Every match of pattern i must contain (ASCII-case-folded)
+    * at least one literal from EACH inner group — the patterns embed the
+    * keywords verbatim and CASE_INSENSITIVE without UNICODE_CASE folds
+    * ASCII only, which containsIgnoreCaseAscii reproduces exactly. A
+    * passage failing a gate cannot match, so the expensive
+    * nested-quantifier scan is skipped (the seven ungated scans per
+    * passage were the bulk of the wb_rules/wb_categories stage builds;
+    * WorldBibleSpec pins gated == ungated).
+    */
+  private val RuleGates: IndexedSeq[Seq[Seq[String]]] = IndexedSeq(
+    Seq(Seq("can", "may", "must", "shall", "will")), // capability (can⊂cannot)
+    Seq(Seq("is", "are", "was", "were")),            // definition
+    Seq(Seq("only")),                                // exclusivity
+    Seq(Seq("no")),                                  // prohibition
+    Seq(Seq("if"), Seq("then")),                     // conditional
+    Seq(Seq("always", "never")),                     // always_never
+    Seq(Seq("it"), Seq("said", "known", "believed", "written"),
+      Seq("that")))                                  // lore
+
+  private def gatePasses(text: String, gate: Seq[Seq[String]]): Boolean =
+    gate.forall(_.exists(graft.extract.Hot.containsIgnoreCaseAscii(text, _)))
+
   private def countMatches(p: Pattern, text: String): Int = {
-    val m = p.matcher(text)
+    val m = graft.extract.Hot.of(p, text)
     var n = 0
     while (m.find()) n += 1
     n
@@ -117,15 +141,20 @@ object WorldBible {
     * conf 0.85, category inferred from ±50-char context.
     */
   def ruleMatches(text: String): Seq[Match] = {
-    rulePatterns.flatMap { case (p, name) =>
-      val m = p.matcher(text)
-      val b = scala.collection.mutable.ArrayBuffer.empty[Match]
-      while (m.find()) {
-        val ctx = text.substring(math.max(0, m.start - 50),
-          math.min(text.length, m.end + 50))
-        b += Match(name, m.group(0), m.start, m.end, inferCategory(ctx), 0.85)
+    rulePatterns.zipWithIndex.flatMap { case ((p, name), i) =>
+      if (!gatePasses(text, RuleGates(i))) Nil
+      else {
+        val m = graft.extract.Hot.of(p, text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[Match]
+        while (m.find()) {
+          val ctx = text.substring(math.max(0, m.start - 50),
+            math.min(text.length, m.end + 50))
+          // inferCategory scans only CATEGORY patterns — disjoint from the
+          // rule pattern whose thread-local matcher is live here
+          b += Match(name, m.group(0), m.start, m.end, inferCategory(ctx), 0.85)
+        }
+        b.toSeq
       }
-      b.toSeq
     }
   }
 
@@ -139,7 +168,7 @@ object WorldBible {
   def categoryMatches(text: String): Seq[Match] = {
     categoryPatterns.flatMap { case (c, ps) =>
       ps.flatMap { p =>
-        val m = p.matcher(text)
+        val m = graft.extract.Hot.of(p, text)
         val b = scala.collection.mutable.ArrayBuffer.empty[Match]
         while (m.find()) b += Match("keyword", m.group(0), m.start, m.end, c, 0.7)
         b.toSeq
@@ -204,11 +233,18 @@ object WorldBible {
       cats: Option[DataFrame] = None): DataFrame = {
     val cult = categorized(spark, passages, "culture", cats)
       .withColumn("lw", lower(col("text")))
-    val grouped = PeoplesKeywords.map { case (people, kws) =>
-      cult.filter(kws.map(k => col("lw").contains(k)).reduce(_ || _))
-        .select(lit(people).as("people"), col("doc_id"), col("pos"))
-    }.reduce(_ unionByName _)
-    grouped.groupBy("people")
+    // ONE scan instead of a six-leg union: per passage, emit the name of
+    // every people whose keyword group matches (null when it does not),
+    // explode, drop the nulls. Row-identical to the previous
+    // union-of-filters — each (people, passage) pair appears exactly when
+    // its keyword disjunction hits — with a single pass over the
+    // culture-categorized passages (the union re-scanned them six times).
+    val peopleMatches = PeoplesKeywords.map { case (people, kws) =>
+      when(kws.map(k => col("lw").contains(k)).reduce(_ || _), lit(people))
+    }
+    cult.select(explode(array(peopleMatches: _*)).as("people"))
+      .filter(col("people").isNotNull)
+      .groupBy("people")
       .agg(count(lit(1)).as("passages"))
       .filter(col("passages") >= 2)
       .withColumn("name", initcap(col("people")))

@@ -222,4 +222,67 @@ class CanonicalizeSpec extends SparkSpec {
       .cooccurrence(small, maxKeysPerPassage = 1 << 20).collect().toSet
     assert(capped == uncapped && capped.size == 3)
   }
+
+  test("coocMergeEdges filter-before-count == count-then-filter (round-6 " +
+    "optimization equivalence)") {
+    import spark.implicits._
+    // pairs crossing the cnt>=3 threshold on both sides of the
+    // containment predicate: (aaron, aaron took) contains, 3x -> edge;
+    // (aaron, aaron took) only 2x in docB -> no edge; (aaron, belba)
+    // no containment even at 5x -> no edge; "the x" == x form included
+    val rows =
+      (1 to 3).flatMap(i => Seq(("a", i, "Aaron"), ("a", i, "Aaron Took"))) ++
+      (1 to 2).flatMap(i => Seq(("b", i, "Belba"), ("b", i, "Belba Field"))) ++
+      (1 to 5).flatMap(i => Seq(("c", i, "Aaron"), ("c", i, "Belba"))) ++
+      (1 to 4).flatMap(i => Seq(("d", i, "Mirkwood"), ("d", i, "the Mirkwood")))
+    val m = rows.toDF("doc_id", "pos", "text")
+    val got = Canonicalize.coocMergeEdges(m)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the pre-optimization order of operations: full pair counts, THEN
+    // the cnt>=3 and containment filters
+    def contains(a: String, b: String) =
+      a.contains(b) || b.contains(a) || a == s"the $b" || b == s"the $a"
+    val naive = Canonicalize.cooccurrence(m)
+      .collect()
+      .filter(_.getLong(2) >= 3)
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => contains(a, b) }
+      .toSet
+    assert(got == naive)
+    assert(got == Set(("aaron", "aaron took"), ("mirkwood", "the mirkwood")))
+  }
+
+  test("two-level registry aggregate == single-level (round-6 optimization " +
+    "equivalence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mentions = Seq(
+      ("d1", 0, "Frodo", 3), ("d1", 0, "Frodo Baggins", 10),
+      ("d2", 1, "frodo", 0), ("d2", 1, "Frodo", 7),
+      ("d1", 5, "Sam", 0), ("d3", 2, "Sam", 4), ("d3", 2, "Samwise", 9))
+      .toDF("doc_id", "pos", "text", "start")
+    val assignment = Seq(
+      ("frodo", "c1"), ("frodo baggins", "c1"),
+      ("sam", "c2"), ("samwise", "c2")).toDF("node", "cluster")
+    val got = Canonicalize.registry(spark, mentions, assignment)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // naive single-level form (the pre-optimization aggregate)
+    val keyed = mentions
+      .withColumn("node", graft.extract.Linker.cleanKey(col("text")))
+      .withColumn("seen_key",
+        concat(col("doc_id"), lit("#"),
+          lpad(col("pos").cast("string"), 19, "0"), lit("#"),
+          lpad(col("start").cast("string"), 19, "0")))
+    val naive = keyed.join(assignment, Seq("node"))
+      .groupBy(col("cluster"))
+      .agg(min_by(col("text"), col("seen_key")).as("canonical_name"),
+        countDistinct(col("node")).as("member_count"),
+        count(lit(1)).as("mention_count"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == naive)
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map("c1" -> "Frodo", "c2" -> "Sam"))
+  }
 }

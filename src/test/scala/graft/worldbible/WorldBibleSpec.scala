@@ -38,4 +38,59 @@ class WorldBibleSpec extends AnyFunSuite {
       assert(WorldBible.classify(t).isEmpty, s"token $t hits a category")
     }
   }
+
+  test("gated rule scans == ungated (round-6 optimization equivalence)") {
+    import java.util.regex.Pattern
+    // ungated re-run of ruleMatches exactly as it stood before the gates:
+    // fresh case-insensitive patterns, no literal pre-checks
+    val pats = WorldBible.RulePatterns.map { case (p, n) =>
+      (Pattern.compile(p, Pattern.CASE_INSENSITIVE), n)
+    }
+    def naiveRuleSpans(text: String): Seq[(String, String, Int, Int)] =
+      pats.flatMap { case (p, name) =>
+        val m = p.matcher(text)
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
+        while (m.find()) b += ((name, m.group(0), m.start, m.end))
+        b.toSeq
+      }
+    val cases = Seq(
+      "Elves cannot cross the sea without a ship.",
+      "The dwarves are always greedy for gold.",
+      "Only the wizards of Rivendell can weave such spells.",
+      "No mortal may enter the Undying Lands.",
+      "If the ring is destroyed then the shadow falls.",
+      "It is said that dragons hoard gold.",
+      "It was known that the king would return.",
+      "IF shouting THEN capitals must also match case-insensitively.",
+      "Men must never trust a balrog.",
+      "Nothing definitional here whatsoever?",
+      "Known and said and that appear but not in the lore shape.",
+      "can may must shall will is are was were only no if then always never",
+      "")
+    cases.foreach { t =>
+      val got = WorldBible.ruleMatches(t)
+        .map(m => (m.patternName, m.text, m.start, m.end))
+      assert(got == naiveRuleSpans(t), s"case: '$t'")
+    }
+  }
+
+  test("single-pass cultures == six-leg union-of-filters (round-6 " +
+    "optimization equivalence, keyword-group level)") {
+    // pure keyword-level check (no Spark): for a set of passage texts the
+    // per-people match sets must be identical between 'any keyword
+    // contains' (the single-pass when()) and the per-people filter legs
+    val texts = Seq(
+      "The hobbit walked home.", "Elves and dwarves feasted.",
+      "An orc and a goblin fought.", "The istari convened.",
+      "mankind endures", "shire-folk are quiet", "eldar of old",
+      "nothing relevant")
+    WorldBible.PeoplesKeywords.foreach { case (people, kws) =>
+      val viaFilter = texts.filter(t =>
+        kws.exists(k => t.toLowerCase(java.util.Locale.ROOT).contains(k)))
+      val viaWhen = texts.filter(t =>
+        kws.map(k => t.toLowerCase(java.util.Locale.ROOT).contains(k))
+          .reduce(_ || _))
+      assert(viaFilter == viaWhen, s"people: $people")
+    }
+  }
 }
