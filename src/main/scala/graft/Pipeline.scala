@@ -35,6 +35,7 @@ object Pipeline {
 
   private def cached(spark: SparkSession, sfDir: String, stage: String)(
       build: => DataFrame): DataFrame = {
+    Tuning.ensure(spark)
     val it = stageCache.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue._1.sparkContext.isStopped) it.remove()
@@ -112,7 +113,12 @@ object Pipeline {
     * (session, dir); six queries start from this stage. */
   def linked(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "linked") {
+      // the vertex id (canonical id, or the new_<slug> regex for unlinked
+      // mentions) is materialized WITH the stage: three consumers
+      // (MENTIONED_IN edges, the vertex delta behind q32/q48) otherwise
+      // re-run the slug regex over the full mention table each
       Linker.link(spark, mentions(spark, sfDir))
+        .withColumn("vid", graft.graph.Materialize.vertexId)
     }
 
   /** Extracted dialogue lines — ONE quote-extraction + 4-tier attribution

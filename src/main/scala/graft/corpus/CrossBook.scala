@@ -24,6 +24,7 @@ object CrossBook {
       mentions: DataFrame,
       bookExpr: org.apache.spark.sql.Column,
       pinnedAliasPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    graft.Tuning.ensure(spark)
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     // project BEFORE the pin: every consumer below needs only
     // (doc_id, pos, book, node, entity_type) — carrying the mention text

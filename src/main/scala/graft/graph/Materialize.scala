@@ -34,6 +34,14 @@ object Materialize {
     coalesce(col("canonical_id"), concat(lit("new_"),
       regexp_replace(lower(trim(col("text"))), "[^a-z0-9]+", "_")))
 
+  /** The vertex id for a linked-mention table: the pre-materialized `vid`
+    * column when the stage carries one (Pipeline.linked stores it — the
+    * new_<slug> regex costs a full-table pass per consumer otherwise),
+    * else the [[vertexId]] derivation. Identical by construction.
+    */
+  private[graft] def vertexIdOf(df: DataFrame): Column =
+    if (df.columns.contains("vid")) col("vid") else vertexId
+
   /** Speaker-name -> canonical-id resolution (G10, writer.py:592-597's
     * entity_id_map with the `char_<slug>` fallback) as a broadcast UDF —
     * shared by [[characterVoice]] and [[dialogueGraph]].
@@ -86,7 +94,7 @@ object Materialize {
     */
   def vertexDelta(linked: DataFrame): DataFrame = {
     linked
-      .withColumn("vid", vertexId)
+      .withColumn("vid", vertexIdOf(linked))
       .groupBy(col("vid").as("id"), col("entity_type").as("label"))
       .agg(
         count(lit(1)).as("mention_count"),
@@ -205,7 +213,7 @@ object Materialize {
     */
   def mentionedInEdges(linked: DataFrame): DataFrame = {
     linked
-      .withColumn("vid", vertexId)
+      .withColumn("vid", vertexIdOf(linked))
       .groupBy(col("vid").as("src"), col("passage_id").as("dst"))
       .agg(count(lit(1)).as("mention_count"))
       .withColumn("type", lit("MENTIONED_IN"))
