@@ -76,6 +76,29 @@ final class AhoCorasick(patterns: IndexedSeq[String]) extends Serializable {
     // comparison; ordering identical ((_1, _2) lexicographic)
     hits.sortInPlace()(AhoCorasick.HitOrder).toSeq
   }
+
+  /** Which patterns occur at least once in `text` — the gate-scan variant
+    * of [[find]]: same automaton walk, but only presence bits (no hit
+    * buffer, no positions, no sort). Equals find(text).map(_._1) as a
+    * set (asserted by AhoCorasickSpec).
+    */
+  def present(text: String): java.util.BitSet = {
+    val bs = new java.util.BitSet(patterns.length)
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (node != 0 && !children(node).contains(c)) node = fail(node)
+      node = children(node).getOrElse(c, 0)
+      var o = outs(node)
+      while (o.nonEmpty) {
+        bs.set(o.head)
+        o = o.tail
+      }
+      i += 1
+    }
+    bs
+  }
 }
 
 object AhoCorasick {

@@ -70,6 +70,70 @@ object WorldBible {
     CategoryKeywords.map { case (c, ps) =>
       c -> ps.map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
     }
+
+  /** Leading-literal-group alternatives of a category pattern source —
+    * the pattern's gate literals. Every category pattern starts with a
+    * `\b(alt|alt|...)` literal alternation, so any match must CONTAIN
+    * one of the alternatives' mandatory prefixes: each alternative is
+    * truncated at its first regex metacharacter (additionally dropping a
+    * character made optional by `?`, e.g. "elves?" -> "elve",
+    * "days?' journey" -> "day"). Returns None — pattern always runs —
+    * when the shape assumption fails, so an unexpected future pattern
+    * degrades to ungated rather than wrongly gated.
+    */
+  private[worldbible] def gateLiterals(src: String): Option[Seq[String]] = {
+    if (!src.startsWith("""\b(""")) return None
+    val end = src.indexOf(')', 3)
+    if (end < 0) return None
+    val metas = "\\^$.|?*+()[]{}"
+    val lits = src.substring(3, end).split('|').toSeq.map { alt =>
+      val mIdx = alt.indexWhere(c => metas.indexOf(c.toInt) >= 0)
+      if (mIdx < 0) alt
+      else if (mIdx > 0 && alt.charAt(mIdx) == '?') alt.substring(0, mIdx - 1)
+      else alt.substring(0, mIdx)
+    }.map(_.toLowerCase(java.util.Locale.ROOT))
+    if (lits.exists(_.isEmpty)) None else Some(lits)
+  }
+
+  /** One Aho-Corasick pass over the lowercased passage decides which of
+    * the 38 category regexes can possibly match (the gate literals are
+    * lowercase ASCII and the patterns are CASE_INSENSITIVE without
+    * UNICODE_CASE, so the lowercased scan reproduces the fold exactly).
+    * Before the gate, classify/extractAll ran every category regex over
+    * every passage — the bulk of the wb_categories/wb_rules stage
+    * builds. WorldBibleSpec pins gated == ungated.
+    *
+    * catGateIds: per category, per pattern, the literal ids whose
+    * presence allows the pattern (empty array = always run).
+    */
+  private lazy val (catGateAc, catGateIds) = {
+    val perPattern: Seq[Option[Seq[String]]] =
+      CategoryKeywords.flatMap(_._2).map(gateLiterals)
+    val distinct = perPattern.flatten.flatten.distinct.toIndexedSeq
+    val litIdx = distinct.zipWithIndex.toMap
+    val flat: Seq[Array[Int]] = perPattern.map {
+      case None => Array.empty[Int]
+      case Some(ls) => ls.map(litIdx).toArray
+    }
+    val sizes = CategoryKeywords.map(_._2.size)
+    val grouped = sizes.foldLeft((Seq.empty[Seq[Array[Int]]], flat)) {
+      case ((acc, rest), n) => (acc :+ rest.take(n), rest.drop(n))
+    }._1
+    (new graft.extract.AhoCorasick(distinct), grouped)
+  }
+
+  private def catGateBits(lower: String): java.util.BitSet =
+    catGateAc.present(lower)
+
+  @inline private def gateOpen(bits: java.util.BitSet, g: Array[Int]): Boolean = {
+    if (g.isEmpty) return true
+    var i = 0
+    while (i < g.length) {
+      if (bits.get(g(i))) return true
+      i += 1
+    }
+    false
+  }
   private lazy val rulePatterns: Seq[(Pattern, String)] =
     RulePatterns.map { case (p, n) =>
       (Pattern.compile(p, Pattern.CASE_INSENSITIVE), n)
@@ -110,8 +174,11 @@ object WorldBible {
     * 'themes' fallback (patterns.py:162-177).
     */
   private def inferCategory(context: String): String = {
-    val scores = categoryPatterns.map { case (c, ps) =>
-      c -> ps.map(countMatches(_, context)).sum
+    val bits = catGateBits(context.toLowerCase(java.util.Locale.ROOT))
+    val scores = categoryPatterns.zip(catGateIds).map { case ((c, ps), gs) =>
+      c -> ps.zip(gs).map { case (p, g) =>
+        if (gateOpen(bits, g)) countMatches(p, context) else 0
+      }.sum
     }.filter(_._2 > 0)
     if (scores.isEmpty) "themes" else scores.maxBy(_._2)._1
   }
@@ -120,10 +187,13 @@ object WorldBible {
     * 1.0; +0.3 boost (or 0.5 floor) when a rule pattern is present.
     */
   def classify(text: String): Seq[(String, Double)] = {
+    val bits = catGateBits(text.toLowerCase(java.util.Locale.ROOT))
     val scores = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    categoryPatterns.foreach { case (c, ps) =>
+    categoryPatterns.zip(catGateIds).foreach { case ((c, ps), gs) =>
       var s = 0.0
-      ps.foreach(p => s += countMatches(p, text) * 0.2)
+      ps.zip(gs).foreach { case (p, g) =>
+        if (gateOpen(bits, g)) s += countMatches(p, text) * 0.2
+      }
       if (s > 0) scores(c) = math.min(s, 1.0)
     }
     rules(text).foreach { case (_, _, cat) =>
@@ -166,12 +236,16 @@ object WorldBible {
     * conf 0.7, pattern_name "keyword".
     */
   def categoryMatches(text: String): Seq[Match] = {
-    categoryPatterns.flatMap { case (c, ps) =>
-      ps.flatMap { p =>
-        val m = graft.extract.Hot.of(p, text)
-        val b = scala.collection.mutable.ArrayBuffer.empty[Match]
-        while (m.find()) b += Match("keyword", m.group(0), m.start, m.end, c, 0.7)
-        b.toSeq
+    val bits = catGateBits(text.toLowerCase(java.util.Locale.ROOT))
+    categoryPatterns.zip(catGateIds).flatMap { case ((c, ps), gs) =>
+      ps.zip(gs).flatMap { case (p, g) =>
+        if (!gateOpen(bits, g)) Nil
+        else {
+          val m = graft.extract.Hot.of(p, text)
+          val b = scala.collection.mutable.ArrayBuffer.empty[Match]
+          while (m.find()) b += Match("keyword", m.group(0), m.start, m.end, c, 0.7)
+          b.toSeq
+        }
       }
     }
   }

@@ -93,4 +93,81 @@ class WorldBibleSpec extends AnyFunSuite {
       assert(viaFilter == viaWhen, s"people: $people")
     }
   }
+
+  test("category-gate automaton == ungated scans (round-6 optimization " +
+    "equivalence: classify + categoryMatches)") {
+    import java.util.regex.Pattern
+    // ungated naive re-run of the pre-optimization classify and
+    // categoryMatches: every category regex over every text
+    val pats = WorldBible.CategoryKeywords.map { case (c, ps) =>
+      c -> ps.map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE))
+    }
+    def count(p: Pattern, t: String): Int = {
+      val m = p.matcher(t); var n = 0; while (m.find()) n += 1; n
+    }
+    def naiveCategoryScores(text: String): Seq[(String, Double)] = {
+      val scores = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      pats.foreach { case (c, ps) =>
+        var s = 0.0
+        ps.foreach(p => s += count(p, text) * 0.2)
+        if (s > 0) scores(c) = math.min(s, 1.0)
+      }
+      // fold in the rule boost exactly like classify
+      WorldBible.rules(text).foreach { case (_, _, cat) =>
+        scores(cat) =
+          if (scores.contains(cat)) math.min(scores(cat) + 0.3, 1.0) else 0.5
+      }
+      scores.toSeq
+    }
+    def naiveCategorySpans(text: String): Seq[(String, String, Int)] =
+      pats.flatMap { case (c, ps) =>
+        ps.flatMap { p =>
+          val m = p.matcher(text)
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+          while (m.find()) b += ((c, m.group(0), m.start))
+          b.toSeq
+        }
+      }
+    // one text per gate-relevant shape, plus optional-'s' and case folds
+    val cases = Seq(
+      "The wizard cast a spell of power near the ring of power.",
+      "Their custom and tradition demand honor.",
+      "It is two leagues east of the mountain, a days' journey by road to town.",
+      "The smith will forge a sword of mithril and steel.",
+      "The VALAR shaped the world before the stars.",
+      "In the Third Age the war began. Kings rule.",
+      "Elves always keep their word.",   // culture p5 + language p1
+      "ELVES? dwarves, hobbits and orcs marched.",
+      "A dragon and a warg fought an ent near the eagle.",
+      "went mention argument — 'ent' substring without the creature",
+      "The rune and inscription were written in elvish.",
+      "Mortal men fear death; the immortal do not.",
+      "Nothing from any category lexicon whatsoever.",
+      "")
+    cases.foreach { t =>
+      assert(WorldBible.classify(t) == naiveCategoryScores(t), s"classify '$t'")
+      assert(WorldBible.categoryMatches(t).map(m => (m.category, m.text, m.start))
+        == naiveCategorySpans(t), s"spans '$t'")
+    }
+  }
+
+  test("derived gate literals are sound mandatory substrings") {
+    // every category pattern yields literals, and each literal is a
+    // mandatory prefix of its alternative: re-matching the alternative's
+    // own literal text against the full pattern must succeed AND contain
+    // the derived literal (case-folded)
+    WorldBible.CategoryKeywords.foreach { case (_, ps) =>
+      ps.foreach { src =>
+        val lits = WorldBible.gateLiterals(src)
+        assert(lits.nonEmpty && lits.get.nonEmpty, s"no gate for $src")
+        lits.get.foreach(l => assert(l.nonEmpty && l == l.toLowerCase))
+      }
+    }
+    // spot-check the metachar-truncation rules
+    assert(WorldBible.gateLiterals("""\b(elves?|men)""").get ==
+      Seq("elve", "men"))
+    assert(WorldBible.gateLiterals("""\b(days?' journey|travel)""").get ==
+      Seq("day", "travel"))
+    assert(WorldBible.gateLiterals("""(no_leading_group)""").isEmpty)
+  }
 }
