@@ -201,8 +201,12 @@ object Pipeline {
     * the query path and the materialization path (round-5 review).
     */
   def vertices(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.Materialize.vertexDelta(linked(spark, sfDir))
-      .drop("first_seen_doc")
+    cached(spark, sfDir, "vertices") {
+      // one vertex aggregate per (session, dir): q32 and q48 each re-ran
+      // the groupBy over the full linked-mention stage per bench pass
+      graft.graph.Materialize.vertexDelta(linked(spark, sfDir))
+        .drop("first_seen_doc")
+    }
 
   /** Replicated triple pipeline for scaling measurements: the textual
     * passages are replicated `rep` times (doc ids suffixed), producing

@@ -83,27 +83,37 @@ object ConnectedComponents {
       // cluster label IS a node name (init cluster = node; mins preserve
       // membership), so the label table always resolves itself —
       // coalesce guards it regardless.
+      // The PREVIOUS label rides through the superstep as an `old` column
+      // (prev contributes exactly one row per node to the union, so
+      // max(old) over the group recovers it; neighbor rows carry null,
+      // which max ignores), so the metrics below aggregate the already-
+      // checkpointed table directly — no per-superstep join of two label
+      // tables, one fewer Spark job per superstep (round-6 guide §2.4:
+      // remove the shuffle outright; the label tables are small, so the
+      // saving is the job/stage scheduling latency times the 2-3
+      // supersteps of every CC run in the bench).
       val next = pin(s"cc_labels_$step") {
         val neighborLabels = sym
-          .join(prev.withColumnRenamed("node", "b"), Seq("b"))
-          .select(col("a").as("node"), col("cluster"))
-        val minned = prev.select("node", "cluster")
+          .join(prev.select(col("node").as("b"), col("cluster")), Seq("b"))
+          .select(col("a").as("node"), col("cluster"),
+            lit(null).cast("string").as("old"))
+        val minned = prev
+          .select(col("node"), col("cluster"), col("cluster").as("old"))
           .union(neighborLabels)
           .groupBy("node")
-          .agg(min(col("cluster")).as("cluster"))
+          .agg(min(col("cluster")).as("cluster"), max(col("old")).as("old"))
         minned
           .join(
             minned.select(col("node").as("cluster"),
               col("cluster").as("cluster2")),
             Seq("cluster"), "left")
           .select(col("node"),
-            coalesce(col("cluster2"), col("cluster")).as("cluster"))
+            coalesce(col("cluster2"), col("cluster")).as("cluster"),
+            col("old"))
       }
-      // one action for both superstep metrics (changed + active): the
-      // node sets of consecutive label tables are identical, so the inner
-      // join's row count IS the active count
+      // one action for both superstep metrics (changed + active), a plain
+      // aggregate over the checkpointed superstep output
       val row = next
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
         .agg(
           // coalesce: sum() is NULL on an empty node set — converge, not NPE
           coalesce(sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
@@ -126,6 +136,7 @@ object ConnectedComponents {
           // NoSuchElementException (round-5 review)
           metrics.lastOption.fold("")(m => s"(last changed=${m.changed}) ") +
           "; raise maxIter")
-    (labels, metrics.toSeq)
+    // drop the metrics-only `old` column — consumers see (node, cluster)
+    (labels.select("node", "cluster"), metrics.toSeq)
   }
 }
