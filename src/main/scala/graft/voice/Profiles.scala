@@ -21,8 +21,16 @@ object Profiles {
       .select(col("speaker"),
         explode(split(lower(col("quote")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
+    // Pin the per-(speaker, word) count table: it feeds the score rows,
+    // the per-speaker totals, the document frequencies AND the speaker
+    // count — left lazy, the planner re-runs the explode + hash aggregate
+    // over every quote once per consumer (4 identical subtrees in the
+    // physical plan). The pinned table is vocabulary-sized (distinct
+    // (speaker, word)), sub-linear in corpus, same pattern as the pinned
+    // MinHash shingle table (guide §2.4 share-one-exchange).
     val counts = words.groupBy("speaker", "word")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val charTotals = counts.groupBy("speaker")
       .agg(sum(col("cnt")).as("char_total"))
     // scalar speaker count joined lazily (broadcast 1-row cross) instead of
@@ -108,6 +116,11 @@ object Profiles {
     * speaker pairs in one self-join.
     */
   def compareVoices(profiles: DataFrame): DataFrame = {
+    // the profile table is read by both sides of the pair self-join but
+    // deliberately NOT pinned — an eager checkpoint forces the full
+    // profile aggregation even when the consumer's action lets the
+    // optimizer prune the unused metric columns (measured: q56
+    // 0.59 -> 0.78 s with a pin)
     def side(suffix: String) = profiles.select(
       col("speaker").as(s"speaker_$suffix"),
       col("avg_words").as(s"aw_$suffix"),
