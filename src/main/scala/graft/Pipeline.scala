@@ -106,7 +106,8 @@ object Pipeline {
     cached(spark, sfDir, "clusters") {
       graft.extract.Canonicalize.clusters(
         spark, textual(spark, sfDir), mentions(spark, sfDir),
-        pinnedAliasPairs = Some(aliasPairs(spark, sfDir)))._1
+        pinnedAliasPairs = Some(aliasPairs(spark, sfDir)),
+        pinnedCoocEdges = Some(coocEdges(spark, sfDir)))._1
     }
 
   /** Mentions linked against the seed registry — materialized once per
@@ -160,6 +161,18 @@ object Pipeline {
   def aliasPairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "alias_pairs") {
       graft.extract.Canonicalize.aliasPairs(spark, textual(spark, sfDir))
+    }
+
+  /** Co-occurrence merge edges over the real mention table — one
+    * pair-expansion + containment-filtered count pass per (session, dir).
+    * The clusters stage and q37 each ran the identical pass (same
+    * (doc_id, pos, mkey) rows — linked is the mention stage plus link
+    * columns — and cooc >= 3 + containment depends on nothing else). q51
+    * keeps computing its own: its mention input is synthesized. */
+  def coocEdges(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "cooc_edges") {
+      graft.extract.Canonicalize.coocMergeEdges(
+        mentions(spark, sfDir), keyExpr = Some(col("mkey")))
     }
 
   /** Per-passage world-bible category scores — one classify pass per

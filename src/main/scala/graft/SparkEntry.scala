@@ -169,7 +169,8 @@ object SparkEntry {
       graft.corpus.CrossBook.resolveAll(s,
         Pipeline.textual(s, dir), Pipeline.linked(s, dir),
         pmod(substring(col("doc_id"), 5, 18).cast("long"), lit(4L)),
-        pinnedAliasPairs = Some(Pipeline.aliasPairs(s, dir)))._1),
+        pinnedAliasPairs = Some(Pipeline.aliasPairs(s, dir)),
+        pinnedCoocEdges = Some(Pipeline.coocEdges(s, dir)))._1),
     "q38_top_entities" -> ((s, dir) => {
       // top-k idiom: TakeOrderedAndProject narrows to 10 rows BEFORE the
       // (unavoidable) global rank window runs — no full-table single

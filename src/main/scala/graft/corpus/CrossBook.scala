@@ -23,7 +23,8 @@ object CrossBook {
       textualPassages: DataFrame,
       mentions: DataFrame,
       bookExpr: org.apache.spark.sql.Column,
-      pinnedAliasPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      pinnedAliasPairs: Option[DataFrame] = None,
+      pinnedCoocEdges: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     graft.Tuning.ensure(spark)
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     // project BEFORE the pin: every consumer below needs only
@@ -78,8 +79,14 @@ object CrossBook {
         struct((col("cnt") * -1).as("nc"), col("entity_type"))).as("ntype"))
     def typeOf(end: String) = nodeTypes
       .select(col("node").as(end), col("ntype").as(s"${end}_t"))
+    // session-cached cooc edge table when the caller has one: the cooc
+    // pass depends only on the (doc_id, pos, node) rows, which are the
+    // same for the linked mention table as for the raw mention stage, so
+    // q37 reuses the clusters stage's pass instead of re-running the
+    // full-mention-table pair expansion per query
     val eConsolidate = Canonicalize.articleEdges(nodes)
-      .union(Canonicalize.coocMergeEdges(m, keyExpr = Some(col("node"))))
+      .union(pinnedCoocEdges.getOrElse(
+        Canonicalize.coocMergeEdges(m, keyExpr = Some(col("node")))))
       .join(typeOf("src"), Seq("src"), "left")
       .join(typeOf("dst"), Seq("dst"), "left")
       .filter(col("src_t").isNull || col("dst_t").isNull ||

@@ -197,7 +197,8 @@ object Canonicalize {
       textualPassages: DataFrame,
       mentions: DataFrame,
       pinnedNodes: Option[DataFrame] = None,
-      pinnedAliasPairs: Option[DataFrame] = None): DataFrame = {
+      pinnedAliasPairs: Option[DataFrame] = None,
+      pinnedCoocEdges: Option[DataFrame] = None): DataFrame = {
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
     // distinct node keys: a shuffle over the full mention table — pin the
     // (tiny) result once, or every edge family below re-runs it inside the
@@ -226,8 +227,11 @@ object Canonicalize {
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .select("src", "dst")
 
-    // 4. co-occurrence >= 3 passing the merge heuristic
-    val eCooc = coocMergeEdges(mentions, keyExpr = Some(keyOf(mentions)))
+    // 4. co-occurrence >= 3 passing the merge heuristic — callers with a
+    //    session-cached edge table (Pipeline.coocEdges) pass it so the
+    //    full-mention-table pair expansion runs once per session
+    val eCooc = pinnedCoocEdges.getOrElse(
+      coocMergeEdges(mentions, keyExpr = Some(keyOf(mentions))))
 
     eArticle.union(eFuzzy).union(eAlias).union(eCooc).distinct()
   }
@@ -243,7 +247,8 @@ object Canonicalize {
       textualPassages: DataFrame,
       mentions: DataFrame,
       checkpoints: Option[graft.graph.Checkpoints] = None,
-      pinnedAliasPairs: Option[DataFrame] = None)
+      pinnedAliasPairs: Option[DataFrame] = None,
+      pinnedCoocEdges: Option[DataFrame] = None)
       : (DataFrame, Seq[ConnectedComponents.Superstep]) = {
     // materialize the mention stage once — nodes and three of the four
     // edge families all read it; the distinct node set is pinned once and
@@ -258,10 +263,12 @@ object Canonicalize {
     val e = checkpoints match {
       case Some(ck) =>
         ck.stage("cc_edges") {
-          edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs)
+          edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs,
+            pinnedCoocEdges)
         }
       case None =>
-        edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs)
+        edges(spark, textualPassages, m, Some(nodes), pinnedAliasPairs,
+          pinnedCoocEdges)
     }
     ConnectedComponents.run(spark, nodes, e, checkpoints = checkpoints)
   }
