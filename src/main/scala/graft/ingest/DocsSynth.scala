@@ -143,19 +143,29 @@ object DocsSynth {
 
     // (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
     // data — order by the full content key so pos→span is deterministic.
+    // Only the four key ints and the span length cross the window
+    // exchange (guide §2.3 project-before-the-exchange): the synthesized
+    // text is a pure function of the keys, so it is re-derived AFTER the
+    // shuffle+sort from the very same `text` Column expression — the
+    // pre-shuffle side evaluates it just for length. Shuffle/sort bytes
+    // drop ~3x; the q01/q29 oracle rows pin the re-derived text against
+    // DuckDB's independent derivation.
     val w = Window.partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_partkey", "l_suppkey")
     li.select(
-        concat(lit("doc_"), col("l_orderkey").cast("string")).as("doc_id"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        kind.as("kind"), text.as("text"), mediaRef.as("media_ref"))
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        (length(text) + lit(1)).as("tlen1"))
       .withColumn("pos", (row_number().over(w) - 1).cast("int"))
       .withColumn("offset",
         coalesce(
-          sum(length(col("text")) + lit(1)).over(
+          sum(col("tlen1")).over(
             w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).cast("int"))
-      .select("doc_id", "pos", "kind", "text", "media_ref", "offset")
+      .select(
+        concat(lit("doc_"), col("l_orderkey").cast("string")).as("doc_id"),
+        col("pos"), kind.as("kind"), text.as("text"),
+        mediaRef.as("media_ref"), col("offset"))
   }
 
   /** The assembled input table: docs(doc_id, spans). Spans are ordered by

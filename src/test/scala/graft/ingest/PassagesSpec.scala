@@ -45,4 +45,32 @@ class PassagesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(!ok3("d1") && ok3("d2"))
   }
+
+  test("validate: duplicate (doc_id, pos) keys keep pairwise-join semantics") {
+    // the union+aggregate form must reproduce the old full-outer join's
+    // behavior on duplicate keys: every p-row compared against every
+    // s-row — ok iff both sides are uniform AND equal
+    val dupEq = Seq(
+      Row("d1", 0, "text", "same", null, 0),
+      Row("d1", 0, "text", "same", null, 0))
+    val okEq = Passages.validate(df(dupEq), df(dupEq))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(okEq("d1")) // identical duplicates on both sides: all pairs equal
+
+    val dupMixed = Seq(
+      Row("d1", 0, "text", "one", null, 0),
+      Row("d1", 0, "text", "two", null, 0))
+    val single = Seq(Row("d1", 0, "text", "one", null, 0))
+    // a non-uniform side fails (some pair differs), in every arrangement
+    assert(!Passages.validate(df(dupMixed), df(dupMixed))
+      .collect().head.getBoolean(1))
+    assert(!Passages.validate(df(dupMixed), df(single))
+      .collect().head.getBoolean(1))
+    assert(!Passages.validate(df(single), df(dupMixed))
+      .collect().head.getBoolean(1))
+    // uniform duplicates against a single equal row: all pairs equal
+    val singleSame = Seq(Row("d1", 0, "text", "same", null, 0))
+    assert(Passages.validate(df(dupEq), df(singleSame))
+      .collect().head.getBoolean(1))
+  }
 }
