@@ -133,7 +133,8 @@ object SparkEntry {
     "q25_embedding_neardup" -> ((s, dir) =>
       graft.ml.Similarity.nearDupPairs(embTable(s, dir), 0.4)),
     "q26_minhash_dups" -> ((s, dir) =>
-      graft.text.Dedup.minhashNearDups(s, docsTable(s, dir), "doc_id", "text")),
+      graft.text.Dedup.minhashNearDups(s, docsTable(s, dir), "doc_id", "text",
+        pinnedShingles = Some(Pipeline.shingles(s, dir)))),
     "q27_simhash_dups" -> ((s, dir) =>
       graft.text.Dedup.simhashNearDups(s, docsTable(s, dir), "doc_id", "text",
         maxHamming = 6)),

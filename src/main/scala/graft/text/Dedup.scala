@@ -125,17 +125,20 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      pinnedShingles: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // Pin the shingle table: it feeds the banding pass AND both sides of
     // the exact-verify join — left lazy, the per-doc split/transform/
     // distinct shingling runs three times (profiled ~2/3 of q26's wall).
     // At scale this is the standard persist-the-feature-table step; the
     // eager localCheckpoint also truncates lineage like the Pipeline
-    // stage cache does.
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol)).as("sh"))
-      .localCheckpoint(true)
+    // stage cache does. Callers with a session-cached shingle stage
+    // (Pipeline.shingles) pass it so the shingling runs once per session.
+    val sh = pinnedShingles.getOrElse(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol)).as("sh"))
+        .localCheckpoint(true))
 
     val banded = sh.as[(Long, Seq[String])].mapPartitions { it =>
       it.flatMap { case (id, shingleSet) =>
