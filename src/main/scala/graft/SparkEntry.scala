@@ -114,7 +114,8 @@ object SparkEntry {
     "q18_dedup_exact" -> ((s, dir) =>
       graft.text.Dedup.exactGroups(Pipeline.textual(s, dir), col("text"))),
     "q19_dedup_ngram" -> ((s, dir) =>
-      graft.text.Dedup.consecutiveJaccard(docsTable(s, dir), "doc_id", "text")),
+      graft.text.Dedup.consecutiveJaccard(docsTable(s, dir), "doc_id", "text",
+        pinnedShingles = Some(Pipeline.shingles(s, dir)))),
     "q20_langid" -> ((s, dir) =>
       graft.text.TextAnalysis.langId(docsTable(s, dir), col("text"))
         .select("doc_id", "predicted_lang", "lang_score")),

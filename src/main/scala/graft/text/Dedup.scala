@@ -73,9 +73,13 @@ object Dedup {
   /** Trigram-Jaccard similarity of each doc vs its successor (equi-join on
     * id+1 — co-partitioned, no window over a global sort).
     */
-  def consecutiveJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol)).as("sh"))
+  def consecutiveJaccard(docs: DataFrame, idCol: String, textCol: String,
+      pinnedShingles: Option[DataFrame] = None): DataFrame = {
+    // session-cached shingle stage when the caller has one: both sides of
+    // the successor join read the shingle table, so the lazy form
+    // shingles the full document table twice per evaluation
+    val sh = pinnedShingles.getOrElse(docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol)).as("sh")))
     val a = sh.select(col("doc_id"), col("sh").as("sh_a"))
     val b = sh.select((col("doc_id") - 1).as("doc_id"), col("doc_id").as("next_doc_id"),
       col("sh").as("sh_b"))
