@@ -27,27 +27,45 @@ object CrossBook {
       pinnedCoocEdges: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     graft.Tuning.ensure(spark)
     val ratioUdf = udf((a: String, b: String) => Linker.indelRatio(a, b))
-    // project BEFORE the pin: every consumer below needs only
-    // (doc_id, pos, book, node, entity_type) — carrying the mention text
-    // and the rest of the linked columns through the eager checkpoint
-    // roughly doubled its bytes (guide §2.3 project-early; node is the
-    // cleaned key, and cleanKey is idempotent, so text is never needed
-    // again downstream)
+    // project BEFORE anything heavy: every consumer below needs only
+    // (doc_id, pos, book, node, entity_type) — node is the cleaned key,
+    // and cleanKey is idempotent, so text is never needed again downstream
+    // (guide §2.3 project-early)
     val mAll = mentions
       .withColumn("book", bookExpr)
       .withColumn("node", Canonicalize.keyOf(mentions))
-    val m = mAll
+    val mProj = mAll
       .select(Seq(col("doc_id"), col("pos"), col("book"), col("node")) ++
         (if (mAll.columns.contains("entity_type"))
            Seq(col("entity_type")) else Nil): _*)
-      .localCheckpoint(true)
-    // pinned: consumed by the fuzzy join, two alias semi-joins, the X5
-    // families, and the CC node set — without the checkpoint each re-runs
-    // the distinct shuffle over the full mention table
-    val nodes = m.select("node").distinct().localCheckpoint(true)
+    // pin only when the mention table is consumed more than once below:
+    // with an externally pinned cooc table (q37 — whose mention input is
+    // the already-checkpointed linked stage) the only full pass left is
+    // the `grouped` aggregate, and an eager checkpoint of the full table
+    // would cost more than the single scan it saves (measured round-6:
+    // the q37 pin was 0.5-1 s of pure overhead). Without one (q51 — whose
+    // mention input is synthesized per query) the pin still pays for
+    // itself: cooc + grouped would otherwise each re-run the synthesis
+    // and the cleanKey regex chain.
+    val m =
+      if (pinnedCoocEdges.isDefined) mProj else mProj.localCheckpoint(true)
     val typed =
       if (m.columns.contains("entity_type")) m
       else m.withColumn("entity_type", lit("unknown"))
+    // ONE aggregated pass over the mention table serves every per-node
+    // consumer below (guide §2.3 aggregate-before-shuffle): the node set,
+    // the majority-type table and the final entity aggregate all depend
+    // only on row counts per (book, node, entity_type) — a table bounded
+    // by |distinct keys| x |books| x |types| (tiny; map-side partial
+    // aggregation collapses the shuffle). Before, each of the three ran
+    // its own full scan + shuffle of the mention table.
+    val grouped = typed
+      .groupBy("book", "node", "entity_type")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // consumed by the fuzzy join, two alias semi-joins, the X5 families,
+    // and the CC node set — all tiny derivations of the pinned `grouped`
+    val nodes = grouped.select("node").distinct().localCheckpoint(true)
 
     // fuzzy edges at the cross-book 0.85 threshold (X3); blocked
     // equi-join on (first char, length) — see Canonicalize.fuzzyEdges
@@ -71,9 +89,11 @@ object CrossBook {
     // hint: nodeTypes is O(distinct mention keys) — large at corpus scale —
     // while the edge side is small; the equi-join lets AQE pick the build
     // side per actual sizes.
-    val nodeTypes = typed
+    // derived from `grouped` (sum(cnt) over books == the per-(node, type)
+    // row count over the full table), not from another full mention scan
+    val nodeTypes = grouped
       .filter(col("entity_type") =!= "unknown")
-      .groupBy("node", "entity_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("node", "entity_type").agg(sum(col("cnt")).as("cnt"))
       .groupBy("node")
       .agg(min_by(col("entity_type"),
         struct((col("cnt") * -1).as("nc"), col("entity_type"))).as("ntype"))
@@ -102,16 +122,14 @@ object CrossBook {
     // conflicts = (# distinct non-unknown types) - 1, floored at 0.
     // Requires the input mentions to carry entity_type (linked mentions);
     // raw mentions degrade gracefully to 0 conflicts.
-    // two-level aggregate: the three count-distincts over the full joined
-    // mention table made the planner Expand every row 4x before one big
-    // shuffle; pre-aggregating by the full distinct key first runs with
-    // map-side partial counts (mentions reduce to a handful of
-    // (cluster, book, node, type) combos), and the Expand then runs over
-    // that tiny table. countDistinct over the pre-grouped keys and
-    // sum(cnt) == count(*) are exact by construction.
-    val entities = typed.join(assignment, Seq("node"))
-      .groupBy("cluster", "book", "node", "entity_type")
-      .agg(count(lit(1)).as("cnt"))
+    // computed from `grouped`, which IS the (book, node, entity_type)
+    // pre-aggregate this two-level plan needs (cluster is a function of
+    // node, so joining the assignment onto the pre-grouped rows yields
+    // exactly the first-level groups): countDistinct over the pre-grouped
+    // keys and sum(cnt) == count(*) are exact by construction, and the
+    // planner's 4x Expand runs over the tiny grouped table instead of
+    // every mention row.
+    val entities = grouped.join(assignment, Seq("node"))
       .groupBy(col("cluster").as("entity"))
       .agg(
         countDistinct(col("book")).as("books_appeared"),
