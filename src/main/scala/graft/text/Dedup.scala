@@ -211,6 +211,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // Pin the signature table: it feeds BOTH sides of the chunk-bucket
+    // self-join below — left lazy, the per-word md5 signature pass over
+    // the full document table runs twice per evaluation (the same shape
+    // q26's shingle table had before its pin).
     val sigs = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
@@ -218,6 +222,7 @@ object Dedup {
         // them, DuckDB's string_split (the oracle) does not
         (id, simhash(t.split(" ", -1).toSeq))
       }).toDF("doc_id", "sig")
+      .localCheckpoint(true)
 
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)

@@ -15,22 +15,38 @@ object Profiles {
     * (speaker, word) counts; the per-word speaker document frequency is a
     * second small aggregate; ranking is a window.
     */
-  def distinctiveWords(dialogue: DataFrame, topN: Int = 10): DataFrame = {
-    val words = dialogue
+  /** Per-(speaker, word) occurrence counts over the dialogue lines — the
+    * one full-dialogue explode + aggregate pass both word-ranking queries
+    * start from. Tokens are split(lower(quote), "\s+") with empty tokens
+    * kept: [[distinctiveWords]] and [[topWords]] each filter by their own
+    * length threshold, and an empty token can never pass either, so this
+    * table is exactly equivalent to both queries' inline tokenizations
+    * (with and without trim — trimming only changes empty tokens).
+    * Pipeline caches it per session so q33 and q42 share one pass.
+    */
+  def wordCounts(dialogue: DataFrame): DataFrame =
+    dialogue
       .filter(col("speaker").isNotNull)
       .select(col("speaker"),
         explode(split(lower(col("quote")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-    // Pin the per-(speaker, word) count table: it feeds the score rows,
-    // the per-speaker totals, the document frequencies AND the speaker
-    // count — left lazy, the planner re-runs the explode + hash aggregate
-    // over every quote once per consumer (4 identical subtrees in the
-    // physical plan). The pinned table is vocabulary-sized (distinct
-    // (speaker, word)), sub-linear in corpus, same pattern as the pinned
-    // MinHash shingle table (guide §2.4 share-one-exchange).
-    val counts = words.groupBy("speaker", "word")
+      .groupBy("speaker", "word")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+
+  def distinctiveWords(dialogue: DataFrame, topN: Int = 10): DataFrame =
+    distinctiveWordsFromCounts(wordCounts(dialogue).localCheckpoint(true), topN)
+
+  /** TF/DF distinctive-word scores over a pinned [[wordCounts]] table.
+    * The count table must be materialized (session stage or checkpoint):
+    * it feeds the score rows, the per-speaker totals, the document
+    * frequencies AND the speaker count — left lazy, the planner re-runs
+    * the explode + hash aggregate over every quote once per consumer
+    * (4 identical subtrees in the physical plan). The pinned table is
+    * vocabulary-sized (distinct (speaker, word)), sub-linear in corpus,
+    * same pattern as the pinned MinHash shingle table (guide §2.4
+    * share-one-exchange).
+    */
+  def distinctiveWordsFromCounts(counts: DataFrame, topN: Int = 10): DataFrame = {
     val charTotals = counts.groupBy("speaker")
       .agg(sum(col("cnt")).as("char_total"))
     // scalar speaker count joined lazily (broadcast 1-row cross) instead of
@@ -93,15 +109,19 @@ object Profiles {
     * reference's stoplist, ranked (count desc, word asc — deterministic
     * stand-in for Python's sort stability).
     */
-  def topWords(dialogue: DataFrame, topN: Int = 20): DataFrame = {
-    dialogue
-      .filter(col("speaker").isNotNull)
-      .select(col("speaker"),
-        explode(split(lower(trim(col("quote"))), "\\s+")).as("word"))
+  def topWords(dialogue: DataFrame, topN: Int = 20): DataFrame =
+    topWordsFromCounts(wordCounts(dialogue), topN)
+
+  /** Top words over a shared [[wordCounts]] table. Filtering the counts
+    * (length > 2, stoplist) is exact: both predicates depend on the word
+    * alone, so they commute with the (speaker, word) aggregate, and the
+    * count table's tokenization is occurrence-identical to the inline
+    * split (see [[wordCounts]] on trim/empty tokens).
+    */
+  def topWordsFromCounts(counts: DataFrame, topN: Int = 20): DataFrame = {
+    counts
       .filter(length(col("word")) > 2 &&
         !col("word").isin(graft.Lexicon.VoiceStopWords: _*))
-      .groupBy("speaker", "word")
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("speaker")
           .orderBy(col("cnt").desc, col("word").asc)))

@@ -44,6 +44,39 @@ class ProfilesSpec extends SparkSpec {
     assert(!top.exists(_._2 == "it")) // len <= 2
   }
 
+  test("top words from the shared count table == inline trim tokenization") {
+    // quotes with leading/trailing/multiple whitespace: the shared
+    // wordCounts table splits WITHOUT trim (empty tokens filtered by
+    // length), the old inline form trimmed first — the word multisets
+    // must be occurrence-identical either way
+    val d = dlg(
+      ("A", "  dragon gold  dragon   ", false, false),
+      ("A", "\tgold treasure\t", false, false),
+      ("B", " treasure ", false, false))
+    val inline = d
+      .filter(col("speaker").isNotNull)
+      .select(col("speaker"),
+        explode(split(lower(trim(col("quote"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 2 &&
+        !col("word").isin(graft.Lexicon.VoiceStopWords: _*))
+      .groupBy("speaker", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val shared = Profiles.wordCounts(d)
+      .filter(length(col("word")) > 2 &&
+        !col("word").isin(graft.Lexicon.VoiceStopWords: _*))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(shared == inline)
+    assert(shared.contains(("A", "dragon", 2L)))
+    val top = Profiles.topWordsFromCounts(Profiles.wordCounts(d)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(top.toSet == Profiles.topWords(d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet)
+  }
+
   test("full profile scalars: TTR, contractions, persons, archaisms") {
     val d = dlg(
       ("A", "I'll tarry here, aye.", false, false),
