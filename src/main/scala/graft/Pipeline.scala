@@ -182,6 +182,16 @@ object Pipeline {
         mentions(spark, sfDir), keyExpr = Some(col("mkey")))
     }
 
+  /** Per-speaker voice profiles — one two-pass profile aggregation over
+    * the dialogue lines per (session, dir), shared by q12, q41 and q56
+    * (each previously re-ran the full scalar + unique-word aggregation
+    * per bench pass; the consumers' own selects/stats/pairing still run
+    * per pass). */
+  def voiceProfiles(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "voice_profiles") {
+      graft.voice.Dialogue.voiceProfiles(spark, dialogue(spark, sfDir))
+    }
+
   /** Per-(speaker, word) dialogue word counts — one explode + aggregate
     * pass over every quote per (session, dir), shared by q33 and q42
     * (each previously re-ran the full-dialogue tokenize per bench pass;

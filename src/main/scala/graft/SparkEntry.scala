@@ -55,7 +55,7 @@ object SparkEntry {
         .select("doc_id", "pos", "quote", "speaker", "speech_verb",
           "attribution_confidence", "is_question", "is_exclamation")),
     "q12_voice_profiles" -> ((s, dir) =>
-      graft.voice.Dialogue.voiceProfiles(s, Pipeline.dialogue(s, dir))
+      Pipeline.voiceProfiles(s, dir)
         .select("speaker", "total_lines", "questions", "exclamations",
           "statements", "avg_words", "utterance_std", "min_words",
           "max_words", "total_words", "total_chars", "unique_words",
@@ -65,8 +65,7 @@ object SparkEntry {
     // unit-covered only); doubles floor-4dp'd for the oracle compare
     "q56_compare_voices" -> ((s, dir) => {
       val f4 = graft.style.Metrics.floor4 _
-      graft.voice.Profiles.compareVoices(
-        graft.voice.Dialogue.voiceProfiles(s, Pipeline.dialogue(s, dir)))
+      graft.voice.Profiles.compareVoices(Pipeline.voiceProfiles(s, dir))
         .select(col("speaker_a"), col("speaker_b"),
           f4(col("utterance_length_diff")).as("utterance_length_diff"),
           f4(col("question_ratio_diff")).as("question_ratio_diff"),
@@ -75,7 +74,8 @@ object SparkEntry {
           f4(col("similarity")).as("similarity"))
     }),
     "q41_voice_stats" -> ((s, dir) =>
-      graft.voice.Dialogue.voiceStats(s, Pipeline.dialogue(s, dir))),
+      graft.voice.Dialogue.voiceStats(s, Pipeline.dialogue(s, dir),
+        preProfiles = Some(Pipeline.voiceProfiles(s, dir)))),
     "q42_top_words" -> ((s, dir) =>
       graft.voice.Profiles.topWordsFromCounts(
         Pipeline.dialogueWordCounts(s, dir))),

@@ -215,9 +215,14 @@ object Dialogue {
   /** V9 analyzer corpus stats (analyzer.py:120-150): one row with the
     * dialogue totals and the attribution rate.
     */
-  def voiceStats(spark: SparkSession, dialogue: DataFrame): DataFrame = {
+  def voiceStats(
+      spark: SparkSession,
+      dialogue: DataFrame,
+      preProfiles: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val profiles = voiceProfiles(spark, dialogue)
+    // callers with a session-cached profile table (Pipeline.voiceProfiles)
+    // pass it so the two-pass profile aggregation runs once per session
+    val profiles = preProfiles.getOrElse(voiceProfiles(spark, dialogue))
       .agg(count(lit(1)).as("total_characters"))
     dialogue.agg(
         count(lit(1)).as("total_dialogue_lines"),
