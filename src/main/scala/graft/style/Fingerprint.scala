@@ -98,28 +98,41 @@ object Fingerprint {
       preClassified: Option[DataFrame] = None): DataFrame = {
     import graft.style.Metrics.floor4
     val p = passages.withColumn("corpus", col(corpusCol))
-    val sm = graft.style.Metrics.sentenceMetrics(p, col("text"))
-      .groupBy("corpus")
-      .agg(
-        count(lit(1)).as("sentences"),
-        sum(col("word_count").cast("long")).as("word_count"),
-        floor4(avg(col("word_count"))).as("sentence_len_mean"),
-        floor4(coalesce(stddev_samp(col("word_count")), lit(0.0)))
-          .as("sentence_len_std"),
-        floor4(avg(col("avg_word_len"))).as("word_len_mean"),
-        floor4(avg(col("punct_count").cast("double")
-          / greatest(col("char_count"), lit(1)))).as("punct_density_mean"),
-        floor4(avg(col("subordinators"))).as("clause_depth_mean"),
-        floor4(avg(when(col("has_dialogue"), 1.0).otherwise(0.0)))
-          .as("dialogue_ratio"),
-        floor4(avg(when(col("is_passive"), 1.0).otherwise(0.0)))
-          .as("passive_voice_ratio"),
-        floor4(avg(when(col("is_question"), 1.0).otherwise(0.0)))
-          .as("question_ratio"),
-        floor4(avg(when(col("is_exclamation"), 1.0).otherwise(0.0)))
-          .as("exclamation_ratio"))
-    val read = graft.style.Metrics.readability(spark, p, Seq("corpus"))
-      .select("corpus", "flesch", "fk_grade", "gunning_fog")
+    // ONE per-corpus metric pass (guide §2.4 share-one-exchange): the
+    // sentence-metric aggregate and the readability aggregate group by
+    // the same key over the same rows, so the readability sums ride the
+    // sentence-metric aggregate (per-row syllable columns computed in the
+    // same scan; `words` == sum(word_count) — both sides of the old
+    // sm-join-read derive it from the same wordCount(text)) and the
+    // formula columns are applied after the single shuffle. Exact: the
+    // aggregate functions and floor4 forms are unchanged, only the
+    // duplicate full scan + join on corpus are gone.
+    val smRows = graft.style.Metrics.withSyllables(
+      graft.style.Metrics.sentenceMetrics(p, col("text")))
+    val sm = graft.style.Metrics.readabilityFinish(
+      smRows.groupBy("corpus")
+        .agg(
+          count(lit(1)).as("sentences"),
+          sum(col("word_count").cast("long")).as("word_count"),
+          floor4(avg(col("word_count"))).as("sentence_len_mean"),
+          floor4(coalesce(stddev_samp(col("word_count")), lit(0.0)))
+            .as("sentence_len_std"),
+          floor4(avg(col("avg_word_len"))).as("word_len_mean"),
+          floor4(avg(col("punct_count").cast("double")
+            / greatest(col("char_count"), lit(1)))).as("punct_density_mean"),
+          floor4(avg(col("subordinators"))).as("clause_depth_mean"),
+          floor4(avg(when(col("has_dialogue"), 1.0).otherwise(0.0)))
+            .as("dialogue_ratio"),
+          floor4(avg(when(col("is_passive"), 1.0).otherwise(0.0)))
+            .as("passive_voice_ratio"),
+          floor4(avg(when(col("is_question"), 1.0).otherwise(0.0)))
+            .as("question_ratio"),
+          floor4(avg(when(col("is_exclamation"), 1.0).otherwise(0.0)))
+            .as("exclamation_ratio"),
+          sum(col("word_count")).as("words"),
+          sum(col("syll")).as("syllables"),
+          sum(col("complex_words")).as("complex_words"))
+    ).drop("words", "syllables", "complex_words", "asl", "asw")
     val vocab = vocabularyBy(spark, p, "corpus")
       .select(col("corpus"), col("ttr"), col("hapax_ratio"),
         floor4(col("archaism_count").cast("double")
@@ -141,7 +154,7 @@ object Fingerprint {
         types.tail.map(t =>
           floor4(avg(when(col("primary_type") === t, 1.0).otherwise(0.0)))
             .as(s"share_$t")): _*)
-    sm.join(read, Seq("corpus")).join(vocab, Seq("corpus"))
+    sm.join(vocab, Seq("corpus"))
       .join(cls, Seq("corpus"))
   }
 

@@ -85,12 +85,15 @@ object Metrics {
     */
   private val ReadabilityWs = java.util.regex.Pattern.compile("\\s+")
 
-  def readability(spark: org.apache.spark.sql.SparkSession,
-      sentences: DataFrame, groupCols: Seq[String]): DataFrame = {
-    // ONE fused UDF returning (syllable sum, complex-word count): the two
-    // separate UDFs each re-split the text and re-ran the syllable
-    // counter over every word — the whole pass is halved, values are
-    // byte-identical (same tokenizer, same counter; MetricsSpec pins it)
+  /** Per-row (syll, complex_words) columns — ONE fused UDF returning
+    * (syllable sum, complex-word count): two separate UDFs each re-split
+    * the text and re-ran the syllable counter over every word — the whole
+    * pass is halved, values are byte-identical (same tokenizer, same
+    * counter; MetricsSpec pins it). Exposed so [[graft.style.Fingerprint]]
+    * can compute the readability sums inside its per-corpus metric
+    * aggregate instead of a second full scan.
+    */
+  private[style] def withSyllables(df: DataFrame): DataFrame = {
     val syllUdf = udf((t: String) => {
       var syll = 0
       var cplx = 0
@@ -103,17 +106,16 @@ object Metrics {
       }
       (syll, cplx)
     })
-    val s = sentences
-      .withColumn("wc", wordCount(col("text")))
-      .withColumn("sy", syllUdf(col("text")))
+    df.withColumn("sy", syllUdf(col("text")))
       .withColumn("syll", col("sy._1"))
       .withColumn("complex_words", col("sy._2"))
-    s.groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("sentences"),
-        sum(col("wc")).as("words"),
-        sum(col("syll")).as("syllables"),
-        sum(col("complex_words")).as("complex_words"))
+      .drop("sy")
+  }
+
+  /** Readability formulas over an aggregated row set carrying
+    * (sentences, words, syllables, complex_words). */
+  private[style] def readabilityFinish(agged: DataFrame): DataFrame =
+    agged
       .withColumn("asl", col("words").cast("double") / col("sentences"))
       .withColumn("asw", col("syllables").cast("double") / col("words"))
       // floor-based 4dp rounding: Spark's round() goes through
@@ -127,6 +129,17 @@ object Metrics {
       .withColumn("gunning_fog", floor4(
         lit(0.4) * (col("asl") +
           lit(100.0) * col("complex_words") / col("words"))))
+
+  def readability(spark: org.apache.spark.sql.SparkSession,
+      sentences: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val s = withSyllables(sentences.withColumn("wc", wordCount(col("text"))))
+    readabilityFinish(
+      s.groupBy(groupCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("sentences"),
+          sum(col("wc")).as("words"),
+          sum(col("syll")).as("syllables"),
+          sum(col("complex_words")).as("complex_words")))
   }
 
   /** Vocabulary profile over a corpus of sentences (Y4, metrics.py:233-308):
