@@ -306,33 +306,48 @@ object Materialize {
         if (s != null && s.length >= n)
           (0 to s.length - n).map(i => s.substring(i, i + n))
         else Nil).distinct)
-    def links(term: Column, side: DataFrame, prio: Column,
-        linkType: String, role: String): DataFrame = {
-      // reference guards `if event.agent:` / `if event.patient:`
-      // (writer.py:769,786) — empty terms link nothing; the filter also
-      // keeps the trigram blocking lossless (an empty term has no grams)
-      val keyed = ev.filter(length(term) > 0)
-        .withColumn("blk", substring(lower(term), 1, 3))
-      val grams = side.withColumn("blk", explode(gramsUdf(lower(col("vname")))))
-      keyed.join(grams, Seq("blk"))
-        .filter(lower(col("vname")).contains(lower(term)))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_id").orderBy(prio, col("vid").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vid").as("src"), col("event_id").as("dst"),
-          lit(linkType).as("type"), lit(role).as("role"))
-    }
-    val chars = vertices.filter(col("label") === "character")
-      .select(col("id").as("vid"), col("canonical_name").as("vname"),
-        col("label"))
+    // ONE role-tagged pass instead of two (round-6 guide §2.4): the agent
+    // and patient families previously each ran their own event aggregate,
+    // gram explode, blocked join and per-event window. Both unpivot into
+    // (event_id, role, term) rows against the SAME target gram table —
+    // the agent family's character-only restriction becomes a post-join
+    // filter (characters are a subset of the target labels, so the
+    // blocked candidate set is a superset and the filter only discards),
+    // and the window partitions by (event_id, role), which is exactly
+    // each family's old per-event partition. The ordering is unchanged:
+    // agent candidates are all characters, so the shared
+    // character>place>object prio is constant 0 for them — identical to
+    // the old lit(0) — and min-vid tie-breaking is per-role as before.
+    // Reference guards `if event.agent:` / `if event.patient:`
+    // (writer.py:769,786) — empty terms link nothing; the filter also
+    // keeps the trigram blocking lossless (an empty term has no grams).
+    val terms = ev
+      .select(col("event_id"), explode(array(
+        struct(lit("agent").as("role"), col("agent").as("term")),
+        struct(lit("patient").as("role"), col("patient").as("term"))))
+        .as("t"))
+      .select(col("event_id"), col("t.role").as("role"),
+        col("t.term").as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("blk", substring(lower(col("term")), 1, 3))
     val targets = vertices.filter(col("label").isin("character", "place", "object"))
       .select(col("id").as("vid"), col("canonical_name").as("vname"),
         col("label"))
+    val grams = targets
+      .withColumn("blk", explode(gramsUdf(lower(col("vname")))))
     val prio = when(col("label") === "character", 0)
       .when(col("label") === "place", 1).otherwise(2)
-    links(col("agent"), chars, lit(0), "PARTICIPATED_IN", "agent")
-      .unionByName(
-        links(col("patient"), targets, prio, "INVOLVED_IN", "patient"))
+    terms.join(grams, Seq("blk"))
+      .filter(lower(col("vname")).contains(lower(col("term"))))
+      .filter(col("role") === "patient" || col("label") === "character")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id", "role")
+          .orderBy(prio, col("vid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vid").as("src"), col("event_id").as("dst"),
+        when(col("role") === "agent", "PARTICIPATED_IN")
+          .otherwise("INVOLVED_IN").as("type"),
+        col("role"))
   }
 
   /** Run the full KG-construction pipeline through the checkpointed stage
