@@ -129,9 +129,11 @@ object Fingerprint {
             .as("question_ratio"),
           floor4(avg(when(col("is_exclamation"), 1.0).otherwise(0.0)))
             .as("exclamation_ratio"),
-          sum(col("word_count")).as("words"),
           sum(col("syll")).as("syllables"),
           sum(col("complex_words")).as("complex_words"))
+        // readabilityFinish reads `words`; it IS the word_count sum —
+        // one aggregate buffer, aliased, not accumulated twice
+        .withColumn("words", col("word_count"))
     ).drop("words", "syllables", "complex_words", "asl", "asw")
     val vocab = vocabularyBy(spark, p, "corpus")
       .select(col("corpus"), col("ttr"), col("hapax_ratio"),

@@ -60,7 +60,13 @@ object BenchExtra {
       "dialogue" -> ((s, d) => Pipeline.dialogue(s, d)),
       "events" -> ((s, d) => Pipeline.events(s, d)),
       "timeline" -> ((s, d) => Pipeline.timeline(s, d)),
-      "classified" -> ((s, d) => Pipeline.classified(s, d)))
+      "classified" -> ((s, d) => Pipeline.classified(s, d)),
+      "cooc_edges" -> ((s, d) => Pipeline.coocEdges(s, d)),
+      "vertices" -> ((s, d) => Pipeline.vertices(s, d)),
+      "shingles" -> ((s, d) => Pipeline.shingles(s, d)),
+      "voice_profiles" -> ((s, d) => Pipeline.voiceProfiles(s, d)),
+      "dialogue_word_counts" -> ((s, d) => Pipeline.dialogueWordCounts(s, d)),
+      "registry_nodes" -> ((s, d) => Pipeline.registryNodes(s, d)))
     val stageJson = stages.map { case (name, f) =>
       spark.sparkContext.setJobDescription(s"stage: $name")
       val t = timed(f(spark, sfDir))
