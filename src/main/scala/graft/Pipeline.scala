@@ -219,7 +219,13 @@ object Pipeline {
     * still run per pass. */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "shingles") {
+      // documents.parquet is ONE file — one split at small SF, so without
+      // an explicit spread the shingle expression AND every downstream
+      // per-partition kernel (minhash signatures, bucket joins) run on a
+      // single core; same rationale and idiom as [[textual]] (measured:
+      // the stage build was 5.6-12.7 s single-core for 1.5 MB of text)
       spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id").cast("long").as("doc_id"),
           graft.text.Dedup.shingles(col("text")).as("sh"))
     }

@@ -1560,6 +1560,11 @@ object SparkEntry {
   }
 
   private def docsTable(s: SparkSession, dir: String): DataFrame =
+    // deliberately NOT repartitioned (unlike Pipeline.shingles): the
+    // document table is 5k short rows and these consumers are trivial
+    // projections/hashes — a spreading exchange costs more than the
+    // single-split compute it saves (measured round-6: q20-q23 each
+    // +0.05-0.25 s with a repartition here)
     s.read.parquet(s"$dir/documents.parquet")
 
   private def embTable(s: SparkSession, dir: String): DataFrame =
